@@ -1,0 +1,75 @@
+"""Aggregated driver contract: flagship + the full query registry."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline import quality_pipeline
+from .queries import build_registry
+
+QUERIES, ORACLE_SQL = build_registry()
+
+
+def documents_as_web_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver's `documents` table to the web_pages input shape
+    (url, warc_ts, html, text, lang) so the north-rule pipeline can run
+    over driver-provided data."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.select(
+        F.concat(F.lit("https://docs.example/"), F.col("source"), F.lit("/"), F.col("doc_id"))
+        .alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>doc</title></head><body><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule pipeline over web pages built from the documents table:
+    langid + perplexity + quality rules + scrub → labelled rows."""
+    pages = documents_as_web_pages(spark, sf_dir)
+    out = quality_pipeline(spark, pages)
+    return out.select(
+        "url", "bucket", "lang", "lang_pred", "langid_conf", "ppl",
+        "n_chars", "n_words", "stopword_ratio", "repetition_ratio",
+        F.concat_ws(",", "drop_reasons").alias("drop_reasons_csv"),
+        "keep",
+    )
+
+
+def _pipeline_keep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: keep/drop histogram of the flagship pipeline."""
+    out = flagship(spark, sf_dir)
+    return (
+        out.groupBy("keep", "drop_reasons_csv")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("drop_reasons_csv"))
+    )
+
+
+def _pipeline_webpages_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: full pipeline over the deterministic synthetic
+    web_pages generator (exercises html extraction + scrub end-to-end)."""
+    from .datagen import spark_web_pages
+
+    out = quality_pipeline(spark, spark_web_pages(spark, 500))
+    return out.groupBy("lang_pred", "keep").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("ppl"), 2).alias("mean_ppl"),
+    )
+
+
+# Non-SQL-expressible entries (driver records rows-only checks).
+QUERIES["pipeline_keep_stats"] = _pipeline_keep_stats
+QUERIES["pipeline_webpages_synthetic"] = _pipeline_webpages_synthetic

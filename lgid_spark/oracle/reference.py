@@ -1,0 +1,256 @@
+"""Pure-pandas/Python reference oracle for the quality-filter pipeline.
+
+This module is the *reference implementation* the Spark pipeline must
+match byte-for-byte (BASELINE.json north_rule: keep/drop F1≥0.99,
+extracted/scrubbed text byte-identical per url). It plays the role the
+golden files play for lgid's mention extractor
+(/root/reference/test/README.md:9-18): fixtures are generated from here
+and pytest compares Spark output against it.
+
+Everything is a pure function — no RNG, no I/O — and the langid /
+perplexity models are deterministic functions of the lexicons, so the
+oracle is reproducible on any machine.
+
+Semantics re-expressed from the reference (not ported):
+  * langid        ≈ lgid's candidate-language scoring (features.py) as a
+                    fastText-style hashed char-n-gram linear model
+  * perplexity    ≈ lgid's LM-match ratio (features.py:337-354) as a
+                    KenLM-style char-trigram log-probability
+  * quality rules = Gopher/C4 heuristics (north_star)
+  * scrub         = ordered Python-`re` chain (pinned; the Spark side
+                    runs the SAME compiled regexes inside pandas UDFs)
+"""
+
+from __future__ import annotations
+
+import html as _html_mod
+import math
+import re
+import zlib
+from functools import lru_cache
+
+import numpy as np
+
+from ..lexicons import ALLOWED_LANGS, LANGS, LEXICONS, STOPWORDS, TOXIC_LEXICON
+
+# ---------------------------------------------------------------------------
+# 1. HTML → text extraction (byte-identical contract per url)
+# ---------------------------------------------------------------------------
+
+_DROP_BLOCKS = re.compile(
+    r"(?is)<(script|style|nav|header|footer)\b.*?</\1\s*>")
+_TAG = re.compile(r"(?s)<[^>]+>")
+_WS = re.compile(r"[ \t\r\f\v]+")
+
+
+def extract_text(html: bytes) -> str:
+    """Strip boilerplate blocks, drop tags, unescape entities, normalize
+    whitespace per line. Pure function of the bytes."""
+    s = html.decode("utf-8", errors="replace")
+    s = _DROP_BLOCKS.sub(" ", s)
+    s = _TAG.sub("\n", s)
+    s = _html_mod.unescape(s)
+    lines = []
+    for raw in s.split("\n"):
+        line = _WS.sub(" ", raw).strip()
+        if line:
+            lines.append(line)
+    return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# 2. Hashed char-n-gram langid (fastText-style) + perplexity (KenLM-style)
+# ---------------------------------------------------------------------------
+
+N_BUCKETS = 1 << 18
+_ALPHA = 0.1
+_GRAM_N = 3
+
+
+def _grams(word: str) -> list[str]:
+    w = f" {word} "
+    return [w[k:k + _GRAM_N] for k in range(len(w) - _GRAM_N + 1)]
+
+
+def _bucket(gram: str) -> int:
+    return zlib.crc32(gram.encode("utf-8")) % N_BUCKETS
+
+
+_TOKEN_RE = re.compile(r"\s+")
+_PUNCT_EDGE = re.compile(r"^\W+|\W+$", re.UNICODE)
+
+
+def tokenize(text: str) -> list[str]:
+    return [t for t in _TOKEN_RE.split(text.strip()) if t]
+
+
+def norm_word(w: str) -> str:
+    return _PUNCT_EDGE.sub("", w).lower()
+
+
+class LangIDModel:
+    """log P(gram | lang) over hashed char-trigram buckets.
+
+    Weights are a dense (N_BUCKETS, n_langs) float32 matrix — ~5 MB —
+    broadcast to executors by the Spark side. Doubles as the perplexity
+    table: ppl(text, lang) = exp(-mean log P(gram|lang))."""
+
+    def __init__(self) -> None:
+        self.langs = list(LANGS)
+        counts = np.zeros((N_BUCKETS, len(self.langs)), dtype=np.float64)
+        for li, lang in enumerate(self.langs):
+            for word in LEXICONS[lang]:
+                for g in _grams(word.lower()):
+                    counts[_bucket(g), li] += 1.0
+        totals = counts.sum(axis=0)
+        self.logp = np.log(
+            (counts + _ALPHA) / (totals + _ALPHA * N_BUCKETS)
+        ).astype(np.float32)
+
+    # -- scoring -----------------------------------------------------------
+    def _text_buckets(self, text: str) -> np.ndarray:
+        buckets: list[int] = []
+        for w in tokenize(text):
+            nw = norm_word(w)
+            if nw:
+                buckets.extend(_bucket(g) for g in _grams(nw))
+        return np.asarray(buckets, dtype=np.int64)
+
+    def score(self, text: str) -> tuple[str, float, float]:
+        """→ (lang_pred, confidence, ppl). Deterministic ties: first lang
+        in sorted order wins (np.argmax takes first, same rule as the
+        reference's find_best_and_normalize, main.py:321-323)."""
+        b = self._text_buckets(text)
+        if b.size == 0:
+            return self.langs[0], 1.0 / len(self.langs), float("inf")
+        mean_logp = self.logp[b].mean(axis=0)  # per-lang mean log-prob
+        # softmax over per-gram mean log-probs, scaled by gram count
+        z = mean_logp - mean_logp.max()
+        p = np.exp(z * min(b.size, 50))  # sharpen with evidence volume
+        p = p / p.sum()
+        li = int(np.argmax(p))
+        ppl = float(np.exp(-mean_logp[li]))
+        return self.langs[li], float(p[li]), ppl
+
+
+@lru_cache(maxsize=1)
+def get_langid_model() -> LangIDModel:
+    return LangIDModel()
+
+
+# ---------------------------------------------------------------------------
+# 3. Quality metrics + rules (Gopher/C4-style)
+# ---------------------------------------------------------------------------
+
+MIN_CHARS = 100
+MAX_SYMBOL_WORD_RATIO = 0.10
+MIN_STOPWORD_RATIO = 0.05
+MAX_REPETITION_RATIO = 0.30
+PPL_THRESHOLD = 50_000.0
+CONF_THRESHOLD = 0.50
+
+_SYMBOLS = set("@#$%^&*+=<>~|{}[]\\")
+
+
+def metrics_for(text: str, lang_pred: str) -> dict:
+    words = tokenize(text)
+    n_words = len(words)
+    n_chars = len(text)
+    lines = text.split("\n") if text else []
+    mean_line_len = (sum(len(ln) for ln in lines) / len(lines)) if lines else 0.0
+    n_sym = sum(1 for c in text if c in _SYMBOLS)
+    symbol_word_ratio = n_sym / n_words if n_words else 0.0
+    stops = set(STOPWORDS.get(lang_pred, ()))
+    n_stop = sum(1 for w in words if norm_word(w) in stops)
+    stopword_ratio = n_stop / n_words if n_words else 0.0
+    if n_words >= 3:
+        trigrams = [tuple(words[k:k + 3]) for k in range(n_words - 2)]
+        repetition_ratio = 1.0 - len(set(trigrams)) / len(trigrams)
+    else:
+        repetition_ratio = 0.0
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_line_len": mean_line_len,
+        "symbol_word_ratio": symbol_word_ratio,
+        "stopword_ratio": stopword_ratio,
+        "repetition_ratio": repetition_ratio,
+    }
+
+
+def drop_reasons_for(m: dict, lang_pred: str, conf: float, ppl: float) -> list[str]:
+    reasons = []
+    if m["n_chars"] < MIN_CHARS:
+        reasons.append("too_short")
+    if m["symbol_word_ratio"] > MAX_SYMBOL_WORD_RATIO:
+        reasons.append("too_symbolic")
+    if m["stopword_ratio"] < MIN_STOPWORD_RATIO:
+        reasons.append("low_stopword")
+    if m["repetition_ratio"] > MAX_REPETITION_RATIO:
+        reasons.append("repetitive")
+    if ppl > PPL_THRESHOLD:
+        reasons.append("high_perplexity")
+    if lang_pred not in ALLOWED_LANGS or conf < CONF_THRESHOLD:
+        reasons.append("bad_lang")
+    return sorted(reasons)
+
+
+# ---------------------------------------------------------------------------
+# 4. PII / toxicity scrub (ordered, Python-`re`-pinned)
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+PHONE_RE = re.compile(r"(?:\+?1[\s.-]?)?\(?\d{3}\)?[\s.-]\d{3}[\s.-]?\d{4}")
+SSN_RE = re.compile(r"\b\d{3}-\d{2}-\d{4}\b")
+TOXIC_RE = re.compile(
+    r"\b(?:" + "|".join(re.escape(w) for w in TOXIC_LEXICON) + r")\b",
+    re.IGNORECASE,
+)
+
+# Order matters (SSN before a bare-digit phone variant could differ);
+# pinned here, mirrored exactly by the Spark side which imports these
+# compiled patterns.
+SCRUB_CHAIN: list[tuple[re.Pattern, str]] = [
+    (EMAIL_RE, "<EMAIL>"),
+    (SSN_RE, "<SSN>"),
+    (PHONE_RE, "<PHONE>"),
+    (TOXIC_RE, "<TOX>"),
+]
+
+
+def scrub_text(text: str) -> str:
+    for pat, repl in SCRUB_CHAIN:
+        text = pat.sub(repl, text)
+    return text
+
+
+# ---------------------------------------------------------------------------
+# 5. Full reference pipeline over a pandas frame of web_pages
+# ---------------------------------------------------------------------------
+
+def process_pages(pdf) -> "object":
+    """pandas web_pages → golden_labels frame (FIXTURES.md §6)."""
+    import pandas as pd
+
+    model = get_langid_model()
+    out = []
+    for r in pdf.itertuples(index=False):
+        etext = extract_text(r.html)
+        lang_pred, conf, ppl = model.score(etext)
+        m = metrics_for(etext, lang_pred)
+        reasons = drop_reasons_for(m, lang_pred, conf, ppl)
+        out.append({
+            "url": r.url,
+            "extracted_text": etext,
+            "lang_pred": lang_pred,
+            "langid_conf": conf,
+            "ppl": ppl,
+            "stopword_ratio": m["stopword_ratio"],
+            "mean_line_len": m["mean_line_len"],
+            "symbol_word_ratio": m["symbol_word_ratio"],
+            "repetition_ratio": m["repetition_ratio"],
+            "drop_reasons": reasons,
+            "keep": len(reasons) == 0,
+            "scrubbed_text": scrub_text(etext),
+        })
+    return pd.DataFrame(out)

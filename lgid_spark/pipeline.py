@@ -1,0 +1,237 @@
+"""The north-rule quality-filter pipeline, Spark-first.
+
+Stages (all lazy, one shuffle total — the optional lineage agg):
+
+  web_pages ──▶ extract (Arrow pandas UDF, byte-identical to oracle)
+            ──▶ langid + perplexity (broadcast hashed-ngram weights,
+                one Arrow pandas UDF returning a struct)
+            ──▶ quality metrics (pure Spark SQL expressions — JVM,
+                whole-stage-codegen; no Python)
+            ──▶ drop_reasons / keep (SQL array assembly)
+            ──▶ scrub (Arrow pandas UDF, Python-`re`-pinned)
+
+Design notes for 100 TB:
+  * The whole pipeline is a narrow map — zero shuffles — so it scales
+    linearly with executors; the only wide op is the lineage groupBy
+    (see lineage.py) on the low-cardinality bucket key.
+  * Model weights (~5 MB float32) ship once per executor via
+    SparkContext.broadcast, not per task.
+  * Metrics are SQL expressions so Catalyst prunes/pushes them and the
+    scan only materializes `html` when extraction actually runs.
+
+Reference semantics covered (SURVEY.md §2/§7): LM membership scoring →
+perplexity (features.py:337-354), candidate-language scoring → langid,
+normalization P3-P7 → extraction, per-group argmax (main.py:301-323) →
+argmax inside langid scoring.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .lexicons import ALLOWED_LANGS, STOPWORDS
+from .oracle import reference as R
+
+# ---------------------------------------------------------------------------
+# Arrow pandas UDFs (the ONLY Python in the pipeline; all Arrow-batched)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(R.extract_text)
+
+
+@F.pandas_udf(T.StringType())
+def scrub_text_udf(text: pd.Series) -> pd.Series:
+    return text.map(R.scrub_text)
+
+
+_LANGID_SCHEMA = T.StructType([
+    T.StructField("lang_pred", T.StringType()),
+    T.StructField("langid_conf", T.DoubleType()),
+    T.StructField("ppl", T.DoubleType()),
+])
+
+
+def make_langid_udf(spark: SparkSession):
+    """Build the langid+ppl pandas UDF with weights broadcast once.
+
+    On a cluster the float32 weight matrix ships to each executor via
+    the torrent broadcast, then every Arrow batch scores against the
+    same in-memory numpy array — no per-task deserialization.
+    """
+    model = R.get_langid_model()
+    bc = spark.sparkContext.broadcast((model.logp, model.langs))
+
+    @F.pandas_udf(_LANGID_SCHEMA)
+    def langid_udf(text: pd.Series) -> pd.DataFrame:
+        logp, langs = bc.value
+        m = R.get_langid_model()
+        # reuse broadcast weights (identical bytes; avoids rebuild cost
+        # when the lru_cache is cold on an executor)
+        m.logp, m.langs = logp, langs
+        rows = [m.score(t or "") for t in text]
+        return pd.DataFrame(rows, columns=["lang_pred", "langid_conf", "ppl"])
+
+    return langid_udf
+
+
+# ---------------------------------------------------------------------------
+# Quality metrics — pure Spark SQL (JVM side, codegen)
+# ---------------------------------------------------------------------------
+
+# (?U) pins Java regex to Unicode character classes so \W / \s behave
+# like Python's re.UNICODE — without it "pensée" would lose its accented
+# edge letters and stopword ratios would drift from the oracle.
+_WORD_EDGE = r"(?U)^\W+|\W+$"
+_WS_SPLIT = r"(?U)\s+"
+_SYMBOL_CLASS = "[@#$%^&*+=<>~|{}\\[\\]\\\\]"
+_SEP = ""  # never occurs in tokens; joins trigrams
+
+
+def _stopword_map_expr() -> Column:
+    """map<lang, array<stopword>> literal, broadcast by constant folding."""
+    args: list[Column] = []
+    for lang in sorted(STOPWORDS):
+        args.append(F.lit(lang))
+        args.append(F.array(*[F.lit(w) for w in STOPWORDS[lang]]))
+    return F.create_map(*args)
+
+
+def with_quality_metrics(df: DataFrame, text_col: str = "extracted_text") -> DataFrame:
+    """Add n_chars, n_words, mean_line_len, symbol_word_ratio,
+    stopword_ratio, repetition_ratio — all JVM-side expressions that
+    reproduce oracle.metrics_for exactly."""
+    t = F.col(text_col)
+    words = F.filter(F.split(F.trim(t), _WS_SPLIT), lambda w: w != F.lit(""))
+    df = (
+        df.withColumn("_words", words)
+        .withColumn("n_chars", F.length(t).cast("int"))
+        .withColumn("n_words", F.size("_words"))
+    )
+    lines = F.split(t, "\n")
+    df = df.withColumn(
+        "mean_line_len",
+        F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+            F.aggregate(lines, F.lit(0), lambda a, x: a + F.length(x)).cast("double")
+            / F.size(lines)
+        ),
+    )
+    n_sym = F.length(t) - F.length(F.regexp_replace(t, _SYMBOL_CLASS, ""))
+    df = df.withColumn(
+        "symbol_word_ratio",
+        F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
+            n_sym.cast("double") / F.col("n_words")
+        ),
+    )
+    stops = F.element_at(_stopword_map_expr(), F.col("lang_pred"))
+    norm = lambda w: F.lower(F.regexp_replace(w, _WORD_EDGE, ""))  # noqa: E731
+    n_stop = F.aggregate(
+        F.col("_words"),
+        F.lit(0),
+        lambda acc, w: acc + F.when(F.array_contains(stops, norm(w)), 1).otherwise(0),
+    )
+    df = df.withColumn(
+        "stopword_ratio",
+        F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
+            n_stop.cast("double") / F.col("n_words")
+        ),
+    )
+    tri = F.transform(
+        F.sequence(F.lit(1), F.col("n_words") - 2),
+        lambda i: F.concat_ws(
+            _SEP,
+            F.element_at("_words", i),
+            F.element_at("_words", i + 1),
+            F.element_at("_words", i + 2),
+        ),
+    )
+    df = df.withColumn(
+        "repetition_ratio",
+        F.when(F.col("n_words") < 3, F.lit(0.0)).otherwise(
+            F.lit(1.0) - F.size(F.array_distinct(tri)).cast("double") / F.size(tri)
+        ),
+    )
+    return df.drop("_words")
+
+
+def with_drop_reasons(df: DataFrame) -> DataFrame:
+    """Assemble drop_reasons (alphabetical, matching the oracle's sort)
+    and keep, as pure SQL."""
+    allowed = F.array(*[F.lit(x) for x in sorted(ALLOWED_LANGS)])
+    conds = [
+        (
+            (~F.array_contains(allowed, F.col("lang_pred")))
+            | (F.col("langid_conf") < R.CONF_THRESHOLD),
+            "bad_lang",
+        ),
+        (F.col("ppl") > R.PPL_THRESHOLD, "high_perplexity"),
+        (F.col("stopword_ratio") < R.MIN_STOPWORD_RATIO, "low_stopword"),
+        (F.col("repetition_ratio") > R.MAX_REPETITION_RATIO, "repetitive"),
+        (F.col("n_chars") < R.MIN_CHARS, "too_short"),
+        (F.col("symbol_word_ratio") > R.MAX_SYMBOL_WORD_RATIO, "too_symbolic"),
+    ]
+    arr = F.array(*[F.when(c, F.lit(name)) for c, name in conds])
+    df = df.withColumn("drop_reasons", F.array_compact(arr))
+    return df.withColumn("keep", F.size("drop_reasons") == 0)
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+
+N_BUCKETS_DEFAULT = 64
+
+
+def with_bucket(df: DataFrame, n_buckets: int = N_BUCKETS_DEFAULT) -> DataFrame:
+    """url-hash bucket — the table's physical partition key (Iceberg
+    `bucket(N, url)` transform equivalent)."""
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
+    )
+
+
+def quality_pipeline(
+    spark: SparkSession,
+    web_pages: DataFrame,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+) -> DataFrame:
+    """web_pages(url, warc_ts, html, text, lang) → filtered/labelled frame.
+
+    Output schema ⊇ golden_labels (FIXTURES.md §6).
+    """
+    langid_udf = make_langid_udf(spark)
+    df = with_bucket(web_pages, n_buckets)
+    df = df.withColumn("extracted_text", extract_text_udf(F.col("html")))
+    df = df.withColumn("_lid", langid_udf(F.col("extracted_text")))
+    df = df.select("*", "_lid.*").drop("_lid")
+    df = with_quality_metrics(df)
+    df = with_drop_reasons(df)
+    df = df.withColumn("scrubbed_text", scrub_text_udf(F.col("extracted_text")))
+    return df.select(
+        "url", "warc_ts", "bucket", "lang",
+        "extracted_text", "lang_pred", "langid_conf", "ppl",
+        "n_chars", "n_words", "mean_line_len", "symbol_word_ratio",
+        "stopword_ratio", "repetition_ratio",
+        "drop_reasons", "keep", "scrubbed_text",
+    )
+
+
+def salted_repartition(df: DataFrame, key: str, salt_buckets: int = 16) -> DataFrame:
+    """Skew-buster: repartition on (key, salt) so one hot host (the
+    synthetic data puts ~20% of rows on host0) spreads over
+    ``salt_buckets`` partitions instead of stalling one task."""
+    return df.repartition(
+        F.col(key), F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
+    )
+
+
+def host_of(url_col: Column) -> Column:
+    return F.regexp_extract(url_col, r"https?://([^/]+)/", 1)

@@ -1,0 +1,207 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-dim).
+
+Engine-parity trick: dot products are computed as an explicit
+sequential fold in DOUBLE on both sides (Spark F.aggregate ↔ DuckDB
+list_transform+list_sum over the same index order), so the results are
+bitwise identical — no reliance on engine-internal float kernels.
+
+  knn_bruteforce  — exact cosine top-k (the baseline ANN oracle)
+  ivf_assign      — IVF-style coarse quantization: nearest-centroid
+                    assignment histogram (the scale path's first stage)
+  rp_lsh_buckets  — random-hyperplane (sign) LSH bucketing: 8-bit
+                    signatures from deterministic md5-derived planes
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .util import t
+
+QUERIES = {}
+ORACLE_SQL = {}
+
+
+def _q(name):
+    def reg(fn):
+        QUERIES[name] = fn
+        return fn
+    return reg
+
+
+DIM = 64
+
+
+def _dot(a, b):
+    """Sequential double fold: sum_i a[i]*b[i] (deterministic order)."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double"),
+    )
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(generate_series(1, {dim}), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _norm_sql(a):
+    return f"sqrt({_DOT_SQL.format(dim=DIM, a=a, b=a)})"
+
+
+N_PROBES = 5
+TOP_K = 5
+
+
+@_q("knn_bruteforce")
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    pairs = emb.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    cos = _dot(F.col("embedding"), F.col("probe_vec")) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(F.col("probe_vec"), F.col("probe_vec")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        pairs.withColumn("cos_sim", F.round(cos, 6))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("probe_id", "rk", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+    )
+
+
+ORACLE_SQL["knn_bruteforce"] = f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS probe_vec
+  FROM embeddings WHERE vec_id < {N_PROBES}
+), pairs AS (
+  SELECT p.probe_id, e.vec_id,
+    ROUND(
+      {_DOT_SQL.format(dim=DIM, a='e.embedding', b='p.probe_vec')}
+      / ({_norm_sql('e.embedding')} * {_norm_sql('p.probe_vec')}), 6) AS cos_sim
+  FROM embeddings e CROSS JOIN probes p
+  WHERE e.vec_id <> p.probe_id
+)
+SELECT probe_id, rk, neighbor_id, cos_sim FROM (
+  SELECT probe_id, vec_id AS neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id ASC) AS rk
+  FROM pairs
+) WHERE rk <= {TOP_K}
+"""
+
+
+N_CENTROIDS = 4
+
+
+@_q("ivf_assign")
+def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    pairs = emb.crossJoin(F.broadcast(cents))
+    # L2 distance squared, deterministic fold
+    dist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (
+            F.element_at(F.col("embedding"), i).cast("double")
+            - F.element_at(F.col("cvec"), i).cast("double")
+        )
+        ** 2,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
+    assigned = (
+        pairs.withColumn("d2", F.round(dist, 6))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    return assigned.groupBy("centroid_id").agg(
+        F.count("*").alias("n_assigned"),
+        F.round(F.avg("d2"), 4).alias("mean_d2"),
+    )
+
+
+_D2_SQL = (
+    f"list_sum(list_transform(generate_series(1, {DIM}), "
+    "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)) "
+    "* (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))))"
+)
+
+ORACLE_SQL["ivf_assign"] = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings WHERE vec_id < {N_CENTROIDS}
+), pairs AS (
+  SELECT e.vec_id, c.centroid_id, ROUND({_D2_SQL}, 6) AS d2
+  FROM embeddings e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, centroid_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, centroid_id ASC) AS rk
+  FROM pairs
+)
+SELECT centroid_id, COUNT(*) AS n_assigned, ROUND(AVG(d2), 4) AS mean_d2
+FROM assigned WHERE rk = 1 GROUP BY centroid_id
+"""
+
+
+N_PLANES = 8
+
+
+def _plane_sign_spark(k: int, i):
+    # deterministic ±1 from md5 of "plane|k|i": low bit of first hex char
+    h = F.conv(F.substring(F.md5(F.concat_ws("|", F.lit("plane"), F.lit(k), i.cast("string"))), 1, 1), 16, 10).cast("int")
+    return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+@_q("rp_lsh_buckets")
+def rp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    def _proj(k: int):
+        def merge(acc, i):
+            return acc + F.element_at(F.col("embedding"), i).cast("double") * _plane_sign_spark(k, i)
+        return F.aggregate(F.sequence(F.lit(1), F.lit(DIM)), F.lit(0.0), merge)
+
+    sig = None
+    for k in range(N_PLANES):
+        proj = _proj(k)
+        bit = F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return (
+        emb.withColumn("bucket", sig.cast("int"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec"))
+    )
+
+
+def _plane_sign_sql(k: int) -> str:
+    return (
+        f"(CASE WHEN ('0x' || substr(md5('plane|{k}|' || CAST(i AS VARCHAR)), 1, 1))::INT & 1 = 1 "
+        "THEN 1.0 ELSE -1.0 END)"
+    )
+
+
+_SIG_SQL = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(generate_series(1, {DIM}), "
+    f"i -> CAST(embedding[i] AS DOUBLE) * {_plane_sign_sql(k)})) > 0 "
+    f"THEN {1 << k} ELSE 0 END)"
+    for k in range(N_PLANES)
+)
+
+ORACLE_SQL["rp_lsh_buckets"] = f"""
+SELECT CAST({_SIG_SQL} AS INT) AS bucket,
+       COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
+FROM embeddings GROUP BY bucket
+"""

@@ -1,0 +1,492 @@
+"""Text-analysis + deduplication operators over `documents` (SURVEY §2.8
+F1-F3 n-grams, A3/J1 mention counting, plus the training-data-pipeline
+ops the engine adds: exact dedup, MinHash+LSH, SimHash, n-gram Jaccard,
+token stats, fingerprinting, quality scoring).
+
+Cross-engine determinism: every hash is md5 (identical hex in Spark and
+DuckDB); n-grams via explicit position sequences; token split pinned to
+(?U)\\s+ ↔ \\s+ (RE2); all ratios computed as double divisions of exact
+ints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .util import t
+
+QUERIES = {}
+ORACLE_SQL = {}
+
+
+def _q(name):
+    def reg(fn):
+        QUERIES[name] = fn
+        return fn
+    return reg
+
+
+def _words(col):
+    """Non-empty whitespace tokens (matches RE2 \\s+ split + filter)."""
+    return F.filter(F.split(F.trim(col), r"(?U)\s+"), lambda w: w != F.lit(""))
+
+
+_WORDS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
+
+
+# ---------------------------------------------------------------------------
+# token_stats — token counting + basic quality stats (text analysis)
+# ---------------------------------------------------------------------------
+
+@_q("token_stats")
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(words).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(words)).cast("bigint").alias("n_distinct_tokens"),
+        (
+            F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)).cast("double")
+            / F.greatest(F.size(words), F.lit(1))
+        ).alias("mean_token_len"),
+    )
+
+
+ORACLE_SQL["token_stats"] = f"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct({_WORDS_SQL})) AS BIGINT) AS n_distinct_tokens,
+  CAST(list_sum(list_transform({_WORDS_SQL}, w -> length(w))) AS DOUBLE)
+    / greatest(len({_WORDS_SQL}), 1) AS mean_token_len
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# char_trigram_counts — F1 character n-grams → A5 n-gram counting
+# (analyzers.py:285-310 + buildlms.py:98-124), top-20 deterministic.
+# ---------------------------------------------------------------------------
+
+@_q("char_trigram_counts")
+def char_trigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 2),
+        lambda i: F.col("text").substr(i, F.lit(3)),
+    )
+    return (
+        docs.filter(F.length("text") >= 3)
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+ORACLE_SQL["char_trigram_counts"] = """
+SELECT substr(text, i, 3) AS gram, COUNT(*) AS n
+FROM documents, unnest(generate_series(1, length(text)-2)) u(i)
+WHERE length(text) >= 3
+GROUP BY gram
+ORDER BY n DESC, gram ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# word_bigram_counts — F2 word n-grams, top-20.
+# ---------------------------------------------------------------------------
+
+@_q("word_bigram_counts")
+def word_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+    )
+    return (
+        docs.filter(F.size(words) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+ORACLE_SQL["word_bigram_counts"] = f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents)
+SELECT words[i] || ' ' || words[i+1] AS bigram, COUNT(*) AS n
+FROM w, unnest(generate_series(1, len(words)-1)) u(i)
+WHERE len(words) >= 2
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact_dedup — hash-groupBy dedup: canonical doc per md5(text).
+# ---------------------------------------------------------------------------
+
+@_q("exact_dedup")
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("text_md5", F.md5("text"))
+        .groupBy("text_md5")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+    )
+
+
+ORACLE_SQL["exact_dedup"] = """
+SELECT md5(text) AS text_md5, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_doc
+FROM documents GROUP BY text_md5
+"""
+
+
+# ---------------------------------------------------------------------------
+# minhash_signatures — MinHash over word shingles: 8 permutations via
+# seeded md5; the signature is the per-seed min. (Dedup scale path.)
+# ---------------------------------------------------------------------------
+
+N_MINHASH = 8
+
+
+@_q("minhash_signatures")
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    shingle = docs.select(
+        "doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("w")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{k}|"), F.col("w")))).alias(f"h{k}")
+        for k in range(N_MINHASH)
+    ]
+    return shingle.groupBy("doc_id").agg(*aggs)
+
+
+ORACLE_SQL["minhash_signatures"] = f"""
+WITH s AS (
+  SELECT doc_id, unnest(list_distinct({_WORDS_SQL})) AS w FROM documents
+)
+SELECT doc_id,
+  {', '.join(f"MIN(md5('s{k}|' || w)) AS h{k}" for k in range(N_MINHASH))}
+FROM s GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# lsh_band_buckets — LSH banding over the minhash signature: docs sharing
+# a band hash are near-dup candidates; emit buckets with >1 doc.
+# ---------------------------------------------------------------------------
+
+@_q("lsh_band_buckets")
+def lsh_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.md5(F.concat_ws("|", "h0", "h1")).alias("band0"),
+        F.md5(F.concat_ws("|", "h2", "h3")).alias("band1"),
+    )
+    stacked = bands.select(
+        "doc_id", F.lit(0).alias("band_idx"), F.col("band0").alias("band_hash")
+    ).unionByName(
+        bands.select(
+            "doc_id", F.lit(1).alias("band_idx"), F.col("band1").alias("band_hash")
+        )
+    )
+    return (
+        stacked.groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+ORACLE_SQL["lsh_band_buckets"] = f"""
+WITH s AS (
+  SELECT doc_id, unnest(list_distinct({_WORDS_SQL})) AS w FROM documents
+), sig AS (
+  SELECT doc_id,
+    {', '.join(f"MIN(md5('s{k}|' || w)) AS h{k}" for k in range(N_MINHASH))}
+  FROM s GROUP BY doc_id
+), stacked AS (
+  SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_hash FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_idx, md5(h2 || '|' || h3) AS band_hash FROM sig
+)
+SELECT band_idx, band_hash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+FROM stacked GROUP BY band_idx, band_hash HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# jaccard_similar_pairs — n-gram Jaccard near-dup: self-join on shared
+# word-trigram shingles (frequency-capped), jaccard >= 0.05.
+# ---------------------------------------------------------------------------
+
+_JACCARD_MIN = 0.05
+_SHINGLE_DOC_CAP = 20
+
+
+@_q("jaccard_similar_pairs")
+def jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i),
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+        ),
+    )
+    sh = (
+        docs.filter(F.size(words) >= 3)
+        .select("doc_id", F.explode(F.array_distinct(tri)).alias("sh"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # frequency cap: drop shingles present in too many docs (stop-shingles)
+    rare = (
+        sh.groupBy("sh").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _SHINGLE_DOC_CAP)
+    )
+    sh2 = sh.join(rare.select("sh"), "sh")
+    a = sh2.alias("a")
+    b = sh2.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_MIN)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+ORACLE_SQL["jaccard_similar_pairs"] = f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
+  FROM w, unnest(generate_series(1, len(words)-2)) u(i)
+  WHERE len(words) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= {_SHINGLE_DOC_CAP}),
+sh2 AS (SELECT sh.* FROM sh JOIN rare USING (sh)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, inter,
+       ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {_JACCARD_MIN}
+"""
+
+
+# ---------------------------------------------------------------------------
+# simhash — 16-bit SimHash from md5 bits of distinct words; near-dup
+# fingerprint. Bits decoded from the first 4 hex chars of each word's md5.
+# ---------------------------------------------------------------------------
+
+@_q("simhash")
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    wd = docs.select(
+        "doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("w")
+    ).withColumn("wh", F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("wh"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(16)
+    ]
+    agg = wd.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("bigint").alias("simhash16"))
+
+
+ORACLE_SQL["simhash"] = f"""
+WITH wd AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 4))::BIGINT AS wh
+  FROM (SELECT doc_id, unnest(list_distinct({_WORDS_SQL})) AS w FROM documents)
+), bits AS (
+  SELECT doc_id,
+    {', '.join(f"SUM(CASE WHEN (wh >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(16))}
+  FROM wd GROUP BY doc_id
+)
+SELECT doc_id,
+  CAST({' + '.join(f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))} AS BIGINT) AS simhash16
+FROM bits
+"""
+
+
+# ---------------------------------------------------------------------------
+# doc_fingerprint — rolling polynomial hash (mod 1e9+7) + md5 fingerprint.
+# Fold semantics pinned to DuckDB's 2-arg list_reduce (first element is
+# the init), mirrored in Spark with slice + aggregate.
+# ---------------------------------------------------------------------------
+
+_MOD = 1_000_000_007
+
+
+@_q("doc_fingerprint")
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    codes = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("bigint"))
+    rolling = F.aggregate(
+        F.slice(codes, 2, F.greatest(F.size(codes) - 1, F.lit(0))),
+        F.element_at(codes, 1),
+        lambda acc, c: (acc * 31 + c) % _MOD,
+    )
+    return docs.filter(F.length("text") > 0).select(
+        "doc_id",
+        F.md5("text").alias("md5_fp"),
+        rolling.alias("rolling_fp"),
+    )
+
+
+ORACLE_SQL["doc_fingerprint"] = f"""
+SELECT doc_id, md5(text) AS md5_fp,
+  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+              (acc, c) -> (acc * 31 + c) % {_MOD}) AS rolling_fp
+FROM documents WHERE length(text) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# stopword_quality — quality scoring over documents: stopword ratio
+# against an inline English function-word list + keep rule (M4 family).
+# ---------------------------------------------------------------------------
+
+_STOPS = ["the", "a", "of", "and", "to", "in", "is"]
+
+
+@_q("stopword_quality")
+def stopword_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    stops = F.array(*[F.lit(s) for s in _STOPS])
+    n_stop = F.aggregate(
+        words, F.lit(0),
+        lambda a, w: a + F.when(F.array_contains(stops, F.lower(w)), 1).otherwise(0),
+    )
+    n_words = F.size(words)
+    ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        n_stop.cast("double") / n_words
+    )
+    return docs.select(
+        "doc_id",
+        F.round(ratio, 6).alias("stopword_ratio"),
+        (ratio >= 0.03).alias("stopword_ok"),
+    )
+
+
+ORACLE_SQL["stopword_quality"] = f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+r AS (
+  SELECT doc_id,
+    CASE WHEN len(words) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(words, x -> list_contains({_STOPS}, lower(x)))) AS DOUBLE) / len(words)
+    END AS ratio
+  FROM w
+)
+SELECT doc_id, ROUND(ratio, 6) AS stopword_ratio, ratio >= 0.03 AS stopword_ok FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# term_mention_counts — J1 name→codes fan-out + A3 mention counting
+# (analyzers.py:276-281; main.py:479-491): inline term dimension with
+# multiple codes per term; counts divided by fan-out degree.
+# ---------------------------------------------------------------------------
+
+_TERMS = [
+    ("table", ["tbl", "tab"]),
+    ("row", ["r"]),
+    ("scan", ["sc", "scn", "s"]),
+    ("merge", ["mrg"]),
+    ("join", ["jn", "j"]),
+]
+
+
+@_q("term_mention_counts")
+def term_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    dim = spark.createDataFrame(
+        [(name, code) for name, codes in _TERMS for code in codes],
+        ["term", "code"],
+    )
+    fanout = {name: len(codes) for name, codes in _TERMS}
+    deg = spark.createDataFrame(list(fanout.items()), ["term", "degree"])
+    occ = (
+        docs.crossJoin(F.broadcast(dim))
+        .withColumn(
+            "n_occ",
+            (
+                (F.length("text") - F.length(F.expr("replace(text, term, '')")))
+                / F.length("term")
+            ).cast("bigint"),
+        )
+        .filter(F.col("n_occ") > 0)
+    )
+    return (
+        occ.groupBy("term", "code")
+        .agg(F.sum("n_occ").alias("raw_mentions"))
+        .join(F.broadcast(deg), "term")
+        .withColumn(
+            "adj_mentions",
+            F.round(F.col("raw_mentions") / F.col("degree"), 6),
+        )
+        .select("term", "code", "raw_mentions", "adj_mentions")
+    )
+
+
+_TERMS_SQL = " UNION ALL ".join(
+    f"SELECT '{name}' AS term, '{code}' AS code, {len(codes)} AS degree"
+    for name, codes in _TERMS
+    for code in codes
+)
+
+ORACLE_SQL["term_mention_counts"] = f"""
+WITH dim AS ({_TERMS_SQL}),
+occ AS (
+  SELECT term, code, degree,
+         CAST((length(text) - length(replace(text, term, ''))) / length(term) AS BIGINT) AS n_occ
+  FROM documents CROSS JOIN dim
+)
+SELECT term, code,
+       CAST(SUM(n_occ) AS BIGINT) AS raw_mentions,
+       ROUND(CAST(SUM(n_occ) AS DOUBLE) / degree, 6) AS adj_mentions
+FROM occ WHERE n_occ > 0
+GROUP BY term, code, degree
+"""

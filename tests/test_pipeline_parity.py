@@ -1,0 +1,71 @@
+"""North-rule parity gate: Spark pipeline vs pure-pandas reference oracle.
+
+BASELINE.json: keep/drop F1 >= 0.99; extracted/scrubbed text
+byte-identical per url. We test for exact equality (stronger).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lgid_spark.datagen import pandas_web_pages, spark_web_pages
+from lgid_spark.oracle.reference import process_pages
+from lgid_spark.pipeline import quality_pipeline
+
+N = 400
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return process_pages(pandas_web_pages(N)).sort_values("url").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def spark_out(spark):
+    df = quality_pipeline(spark, spark_web_pages(spark, N))
+    return df.toPandas().sort_values("url").reset_index(drop=True)
+
+
+def test_row_count(golden, spark_out):
+    assert len(spark_out) == len(golden) == N
+
+
+def test_extracted_text_byte_identical(golden, spark_out):
+    assert (spark_out["extracted_text"] == golden["extracted_text"]).all()
+
+
+def test_scrubbed_text_byte_identical(golden, spark_out):
+    assert (spark_out["scrubbed_text"] == golden["scrubbed_text"]).all()
+
+
+def test_langid_parity(golden, spark_out):
+    assert (spark_out["lang_pred"] == golden["lang_pred"]).all()
+    np.testing.assert_allclose(
+        spark_out["langid_conf"], golden["langid_conf"], rtol=1e-6)
+    np.testing.assert_allclose(spark_out["ppl"], golden["ppl"], rtol=1e-6)
+
+
+@pytest.mark.parametrize("col", [
+    "stopword_ratio", "mean_line_len", "symbol_word_ratio", "repetition_ratio",
+])
+def test_metric_parity(golden, spark_out, col):
+    np.testing.assert_allclose(
+        spark_out[col], golden[col], rtol=1e-12, err_msg=col)
+
+
+def test_drop_reasons_exact(golden, spark_out):
+    a = spark_out["drop_reasons"].map(list)
+    b = golden["drop_reasons"].map(list)
+    mismatches = [(i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y]
+    assert not mismatches, mismatches[:5]
+
+
+def test_keep_f1(golden, spark_out):
+    tp = int(((spark_out["keep"]) & (golden["keep"])).sum())
+    fp = int(((spark_out["keep"]) & (~golden["keep"])).sum())
+    fn = int(((~spark_out["keep"]) & (golden["keep"])).sum())
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, f1
+    assert (spark_out["keep"] == golden["keep"]).all()  # exact, in practice
