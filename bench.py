@@ -1,0 +1,234 @@
+"""Benchmark harness (driver contract).
+
+Default: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit": "sec", "queries": {...}, "sf", ...}.
+
+--scaling: additionally measures the flagship filter pipeline at
+local[8] vs local[32] on the same input (the sandbox stand-in for N vs
+4N executors per the driver instruction) and reports throughput at both
+plus scaling efficiency = (T_N/T_4N)/4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "region_rollup",
+    "sessionize",
+    "sliding_window_agg",
+    "error_window_join",
+    "user_argmax",
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_band_buckets",
+    "simhash",
+    "token_stats",
+    "knn_bruteforce",
+    "ivf_assign",
+]
+
+PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "60000"))
+
+
+def _run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as E
+
+    queries = E.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        # count() forces full execution without driver-side materialization
+        fn(spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+_GEN_CACHE = "/tmp/lgid_bench_webpages_{n}.parquet"
+
+
+def _materialize_pages(spark, n_docs: int) -> str:
+    """Generate the synthetic web_pages input once (generation is not
+    part of the measured filter throughput)."""
+    path = _GEN_CACHE.format(n=n_docs)
+    if not os.path.exists(path):
+        from lgid_spark.datagen import spark_web_pages
+
+        # many small files ≈ a production bucketed table: the scan itself
+        # parallelizes and no repartition shuffle is needed downstream
+        spark_web_pages(spark, n_docs).repartition(256).write.mode(
+            "overwrite").parquet(path)
+    return path
+
+
+def _warm_python_workers(spark) -> None:
+    """Run a tiny pandas-UDF job so every Python worker has imported
+    numpy/pandas/lgid_spark before timing starts — we measure
+    steady-state throughput, not interpreter start-up."""
+    from lgid_spark.datagen import spark_web_pages
+    from lgid_spark.pipeline import quality_pipeline
+
+    n = int(spark.sparkContext.defaultParallelism) * 32
+    quality_pipeline(
+        spark, spark_web_pages(spark, n).repartition(
+            int(spark.sparkContext.defaultParallelism))
+    ).select("keep").count()
+
+
+def _run_pipeline(spark, n_docs: int, warm: bool = True) -> float:
+    """Flagship filter throughput: web_pages parquet → full pipeline."""
+    from lgid_spark.pipeline import quality_pipeline
+
+    path = _materialize_pages(spark, n_docs)
+    if warm:
+        _warm_python_workers(spark)
+    t0 = time.time()
+    quality_pipeline(
+        spark, spark.read.parquet(path)
+    ).select("keep").groupBy("keep").count().collect()
+    return time.time() - t0
+
+
+def _fresh_spark(cpus: int):
+    from lgid_spark.session import get_spark
+
+    return get_spark(
+        f"bench_{cpus}",
+        master=f"local[{cpus}]",
+        extra_conf={
+            # split the bench input finely enough that the scan itself
+            # saturates all cores (input files are ~1 MB each)
+            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(512 * 1024),
+        },
+    )
+
+
+def _pinned_pipeline_run(cores: int, n_docs: int) -> float:
+    """Median-of-3 steady-state pipeline time in a subprocess hard-pinned
+    to `cores` CPUs via taskset — the sandbox stand-in for an N-executor
+    cluster. Without pinning, a local[8] job's Python workers sprawl onto
+    the idle 24 cores and the N-vs-4N comparison measures nothing."""
+    import subprocess
+
+    cmd = [
+        "taskset", "-c", f"0-{cores - 1}",
+        sys.executable, os.path.abspath(__file__),
+        "--pipeline-only", str(cores), str(n_docs),
+    ]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    return float(out.stdout.strip().splitlines()[-1])
+
+
+def _pipeline_only(cores: int, n_docs: int) -> None:
+    import statistics
+
+    spark = _fresh_spark(cores)
+    # 2 warm passes (worker imports + JVM JIT), then median of 3
+    _run_pipeline(spark, n_docs)
+    times = [_run_pipeline(spark, n_docs, warm=False) for _ in range(3)]
+    spark.stop()
+    print(statistics.median(times))
+
+
+def _cpu_frequency_ceiling(lo: int, hi: int) -> float:
+    """Measure this box's all-core frequency derating: per-process time
+    for identical work at `lo` vs `hi` busy cores. A real cluster adds
+    machines at 4N (per-core speed constant); this single box instead
+    drops its all-core clock, capping raw strong-scaling efficiency at
+    t_lo/t_hi regardless of software. Reported alongside the raw number."""
+    import subprocess
+
+    burn = (
+        "import time,sys\nt0=time.time()\nx=0\n"
+        "for i in range(30_000_000): x=(x*31+i)%1000000007\n"
+        "print(time.time()-t0)"
+    )
+
+    def run(n: int) -> float:
+        ps = [
+            subprocess.Popen(
+                ["taskset", "-c", f"0-{n - 1}", sys.executable, "-c", burn],
+                stdout=subprocess.PIPE, text=True)
+            for _ in range(n)
+        ]
+        return max(float(p.communicate()[0]) for p in ps)
+
+    t_lo, t_hi = run(lo), run(hi)
+    return t_lo / t_hi
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--pipeline-only" in sys.argv:
+        i = sys.argv.index("--pipeline-only")
+        _pipeline_only(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+        return
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    scaling = "--scaling" in sys.argv
+
+    spark = _fresh_spark(cpus)
+    # warm the JVM/Arrow path once so measured times are steady-state
+    spark.range(1000).count()
+
+    queries = _run_queries(spark, sf_dir)
+    gen_t0 = time.time()
+    pipe_sec = _run_pipeline(spark, PIPELINE_DOCS)
+    docs_per_sec = round(PIPELINE_DOCS / pipe_sec, 1)
+    queries["filter_pipeline"] = round(pipe_sec, 3)
+
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "filter_docs_per_sec": docs_per_sec,
+        "pipeline_docs": PIPELINE_DOCS,
+    }
+
+    if scaling:
+        # big enough that compute dominates fixed overhead at 32 cores
+        sc_docs = int(os.environ.get("BENCH_SCALING_DOCS", "480000"))
+        _materialize_pages(spark, sc_docs)  # generate once at full width
+        spark.stop()
+        lo, hi = 8, 32
+        t_lo = _pinned_pipeline_run(lo, sc_docs)
+        t_hi = _pinned_pipeline_run(hi, sc_docs)
+        eff = (t_lo / t_hi) / (hi / lo)
+        ceiling = _cpu_frequency_ceiling(lo, hi)
+        result["scaling"] = {
+            "n_cores": lo,
+            "4n_cores": hi,
+            "docs": sc_docs,
+            "sec_at_n": round(t_lo, 3),
+            "sec_at_4n": round(t_hi, 3),
+            "docs_per_sec_at_n": round(sc_docs / t_lo, 1),
+            "docs_per_sec_at_4n": round(sc_docs / t_hi, 1),
+            "efficiency": round(eff, 3),
+            # single-box frequency derating: max raw efficiency any
+            # software can show on this machine (real clusters keep
+            # per-core speed constant when adding machines)
+            "hw_frequency_ceiling": round(ceiling, 3),
+            "efficiency_hw_normalized": round(min(eff / ceiling, 1.0), 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -107,6 +107,15 @@ class LangIDModel:
             (counts + _ALPHA) / (totals + _ALPHA * N_BUCKETS)
         ).astype(np.float32)
 
+    @classmethod
+    def from_weights(cls, logp: np.ndarray, langs: list[str]) -> "LangIDModel":
+        """Executor-side constructor from broadcast weights — skips the
+        training pass entirely (cold-start cost matters ×1000 workers)."""
+        m = cls.__new__(cls)
+        m.logp = logp
+        m.langs = langs
+        return m
+
     # -- scoring -----------------------------------------------------------
     def _text_buckets(self, text: str) -> np.ndarray:
         buckets: list[int] = []
@@ -116,11 +125,7 @@ class LangIDModel:
                 buckets.extend(_bucket(g) for g in _grams(nw))
         return np.asarray(buckets, dtype=np.int64)
 
-    def score(self, text: str) -> tuple[str, float, float]:
-        """→ (lang_pred, confidence, ppl). Deterministic ties: first lang
-        in sorted order wins (np.argmax takes first, same rule as the
-        reference's find_best_and_normalize, main.py:321-323)."""
-        b = self._text_buckets(text)
+    def _score_buckets(self, b: np.ndarray) -> tuple[str, float, float]:
         if b.size == 0:
             return self.langs[0], 1.0 / len(self.langs), float("inf")
         mean_logp = self.logp[b].mean(axis=0)  # per-lang mean log-prob
@@ -131,6 +136,36 @@ class LangIDModel:
         li = int(np.argmax(p))
         ppl = float(np.exp(-mean_logp[li]))
         return self.langs[li], float(p[li]), ppl
+
+    def score(self, text: str) -> tuple[str, float, float]:
+        """→ (lang_pred, confidence, ppl). Deterministic ties: first lang
+        in sorted order wins (np.argmax takes first, same rule as the
+        reference's find_best_and_normalize, main.py:321-323)."""
+        return self._score_buckets(self._text_buckets(text))
+
+    def score_batch(self, texts) -> list[tuple[str, float, float]]:
+        """Batch scoring with per-word bucket memoization — numerically
+        identical to score() (per-word arrays concatenate to exactly the
+        same bucket sequence) but skips re-hashing repeated words, which
+        dominates on Zipfian web text. Used by the Spark pandas UDF."""
+        cache: dict[str, np.ndarray] = {}
+        empty = np.asarray([], dtype=np.int64)
+        out = []
+        for text in texts:
+            arrs = []
+            for w in tokenize(text or ""):
+                nw = norm_word(w)
+                if not nw:
+                    continue
+                a = cache.get(nw)
+                if a is None:
+                    a = np.asarray(
+                        [_bucket(g) for g in _grams(nw)], dtype=np.int64)
+                    cache[nw] = a
+                arrs.append(a)
+            b = np.concatenate(arrs) if arrs else empty
+            out.append(self._score_buckets(b))
+        return out
 
 
 @lru_cache(maxsize=1)
@@ -222,6 +257,73 @@ def scrub_text(text: str) -> str:
     for pat, repl in SCRUB_CHAIN:
         text = pat.sub(repl, text)
     return text
+
+
+# ---------------------------------------------------------------------------
+# 4b. Single-pass batch processing (tokenize once, share across langid /
+#     metrics / scrub) — numerically identical to the per-stage functions
+#     (verified by tests/test_pipeline_parity.py + test_oracle_internal).
+#     This is what the Spark fused pandas UDF calls: Python-side work
+#     scales linearly across worker processes, unlike 32-thread JVM
+#     string-array allocation which GC-thrashes a shared heap.
+# ---------------------------------------------------------------------------
+
+
+def process_batch(texts, model: "LangIDModel") -> list[dict]:
+    bucket_cache: dict[str, np.ndarray] = {}
+    norm_cache: dict[str, str] = {}
+    empty = np.asarray([], dtype=np.int64)
+    out = []
+    for text in texts:
+        text = text or ""
+        words = tokenize(text)
+        normed = []
+        arrs = []
+        for w in words:
+            nw = norm_cache.get(w)
+            if nw is None:
+                nw = norm_word(w)
+                norm_cache[w] = nw
+            normed.append(nw)
+            if nw:
+                a = bucket_cache.get(nw)
+                if a is None:
+                    a = np.asarray(
+                        [_bucket(g) for g in _grams(nw)], dtype=np.int64)
+                    bucket_cache[nw] = a
+                arrs.append(a)
+        b = np.concatenate(arrs) if arrs else empty
+        lang_pred, conf, ppl = model._score_buckets(b)
+
+        n_words = len(words)
+        n_chars = len(text)
+        lines = text.split("\n") if text else []
+        mean_line_len = (
+            sum(len(ln) for ln in lines) / len(lines)) if lines else 0.0
+        n_sym = sum(1 for c in text if c in _SYMBOLS)
+        symbol_word_ratio = n_sym / n_words if n_words else 0.0
+        stops = set(STOPWORDS.get(lang_pred, ()))
+        n_stop = sum(1 for nw in normed if nw in stops)
+        stopword_ratio = n_stop / n_words if n_words else 0.0
+        if n_words >= 3:
+            trigrams = [tuple(words[k:k + 3]) for k in range(n_words - 2)]
+            repetition_ratio = 1.0 - len(set(trigrams)) / len(trigrams)
+        else:
+            repetition_ratio = 0.0
+        out.append({
+            "extracted_text": text,
+            "lang_pred": lang_pred,
+            "langid_conf": conf,
+            "ppl": ppl,
+            "n_chars": n_chars,
+            "n_words": n_words,
+            "mean_line_len": mean_line_len,
+            "symbol_word_ratio": symbol_word_ratio,
+            "stopword_ratio": stopword_ratio,
+            "repetition_ratio": repetition_ratio,
+            "scrubbed_text": scrub_text(text),
+        })
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -72,12 +72,8 @@ def make_langid_udf(spark: SparkSession):
 
     @F.pandas_udf(_LANGID_SCHEMA)
     def langid_udf(text: pd.Series) -> pd.DataFrame:
-        logp, langs = bc.value
-        m = R.get_langid_model()
-        # reuse broadcast weights (identical bytes; avoids rebuild cost
-        # when the lru_cache is cold on an executor)
-        m.logp, m.langs = logp, langs
-        rows = [m.score(t or "") for t in text]
+        m = R.LangIDModel.from_weights(*bc.value)
+        rows = m.score_batch(text)
         return pd.DataFrame(rows, columns=["lang_pred", "langid_conf", "ppl"])
 
     return langid_udf
@@ -198,6 +194,43 @@ def with_bucket(df: DataFrame, n_buckets: int = N_BUCKETS_DEFAULT) -> DataFrame:
     )
 
 
+_PROCESS_SCHEMA = T.StructType([
+    T.StructField("extracted_text", T.StringType()),
+    T.StructField("lang_pred", T.StringType()),
+    T.StructField("langid_conf", T.DoubleType()),
+    T.StructField("ppl", T.DoubleType()),
+    T.StructField("n_chars", T.IntegerType()),
+    T.StructField("n_words", T.IntegerType()),
+    T.StructField("mean_line_len", T.DoubleType()),
+    T.StructField("symbol_word_ratio", T.DoubleType()),
+    T.StructField("stopword_ratio", T.DoubleType()),
+    T.StructField("repetition_ratio", T.DoubleType()),
+    T.StructField("scrubbed_text", T.StringType()),
+])
+
+
+def make_process_html_udf(spark: SparkSession):
+    """Fused extract→langid→metrics→scrub in ONE Arrow crossing.
+
+    Two scale reasons: (1) the unfused path ships the full document text
+    JVM→Python→JVM three times — 3× the Arrow volume of the hottest
+    column; (2) metrics as JVM SQL expressions allocate word/trigram
+    arrays per row on the shared executor heap — measured to ANTI-scale
+    8→32 local cores from GC contention, while per-process Python
+    scales linearly. The single pass tokenizes once and shares it
+    between langid and the metrics (see oracle.process_batch)."""
+    model = R.get_langid_model()
+    bc = spark.sparkContext.broadcast((model.logp, model.langs))
+
+    @F.pandas_udf(_PROCESS_SCHEMA)
+    def process_html_udf(html: pd.Series) -> pd.DataFrame:
+        m = R.LangIDModel.from_weights(*bc.value)
+        texts = [R.extract_text(h) for h in html]
+        return pd.DataFrame(R.process_batch(texts, m))
+
+    return process_html_udf
+
+
 def quality_pipeline(
     spark: SparkSession,
     web_pages: DataFrame,
@@ -207,14 +240,11 @@ def quality_pipeline(
 
     Output schema ⊇ golden_labels (FIXTURES.md §6).
     """
-    langid_udf = make_langid_udf(spark)
+    process_udf = make_process_html_udf(spark)
     df = with_bucket(web_pages, n_buckets)
-    df = df.withColumn("extracted_text", extract_text_udf(F.col("html")))
-    df = df.withColumn("_lid", langid_udf(F.col("extracted_text")))
-    df = df.select("*", "_lid.*").drop("_lid")
-    df = with_quality_metrics(df)
+    df = df.withColumn("_p", process_udf(F.col("html")))
+    df = df.select("*", "_p.*").drop("_p")
     df = with_drop_reasons(df)
-    df = df.withColumn("scrubbed_text", scrub_text_udf(F.col("extracted_text")))
     return df.select(
         "url", "warc_ts", "bucket", "lang",
         "extracted_text", "lang_pred", "langid_conf", "ppl",

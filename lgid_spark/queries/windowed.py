@@ -199,12 +199,20 @@ SELECT user_id, rk, event_id, value FROM (
 """
 
 
+_RANGE_US = 120_000_000  # ±120 s
+
+
 @_q("error_window_join")
 def error_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: range join — count events of each type within ±120 s of each
     *error* event (mention↔window overlap join, features.py:196-209).
-    The error side is small → broadcast; Catalyst turns the conjunctive
-    range predicate into BroadcastNestedLoopJoin with pushed bounds."""
+
+    Scale path: a naive theta-join is O(events × errors) nested-loop
+    (14.9 s at sf0.1; quadratic at 100 TB). Instead each error explodes
+    to the 2-3 time buckets of width=range covering its window, the join
+    becomes a hash equi-join on the bucket, and the exact range predicate
+    filters the residue — linear in matches, shuffle-partitionable on the
+    bucket key, AQE-splittable if one time bucket is hot."""
     ev = t(spark, sf_dir, "events").withColumn("ts_us", us("ts"))
     errors = (
         ev.filter(F.col("event_type") == "error")
@@ -212,12 +220,22 @@ def error_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("err_id"),
             F.col("ts_us").alias("err_ts_us"),
         )
+        # buckets the ±range window can touch: floor((t±range)/range)
+        .withColumn(
+            "tb",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("err_ts_us") - _RANGE_US) / _RANGE_US),
+                    F.floor((F.col("err_ts_us") + _RANGE_US) / _RANGE_US),
+                )
+            ),
+        )
     )
-    joined = ev.join(
-        F.broadcast(errors),
-        (F.col("ts_us") >= F.col("err_ts_us") - 120_000_000)
-        & (F.col("ts_us") <= F.col("err_ts_us") + 120_000_000)
-        & (F.col("event_id") != F.col("err_id")),
+    ev_b = ev.withColumn("tb", F.floor(F.col("ts_us") / _RANGE_US))
+    joined = ev_b.join(F.broadcast(errors), "tb").filter(
+        (F.col("ts_us") >= F.col("err_ts_us") - _RANGE_US)
+        & (F.col("ts_us") <= F.col("err_ts_us") + _RANGE_US)
+        & (F.col("event_id") != F.col("err_id"))
     )
     return (
         joined.groupBy("err_id", "event_type")

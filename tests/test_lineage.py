@@ -1,0 +1,85 @@
+"""Idempotent resume + lineage semantics (north_rule)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from lgid_spark.datagen import spark_web_pages
+from lgid_spark.lineage import committed_buckets, lineage_rows, run_incremental
+from lgid_spark.pipeline import quality_pipeline
+
+N = 300
+N_BUCKETS = 16
+
+
+@pytest.fixture()
+def paths(tmp_path):
+    return str(tmp_path / "out"), str(tmp_path / "metrics")
+
+
+def test_full_run_then_noop(spark, paths):
+    out, metrics = paths
+    pages = spark_web_pages(spark, N)
+    r1 = run_incremental(spark, pages, out, metrics, "snap1", N_BUCKETS)
+    assert r1["processed_rows"] == N
+    assert r1["processed_buckets"] == N_BUCKETS
+    # re-run: everything committed → no-op
+    r2 = run_incremental(spark, pages, out, metrics, "snap2", N_BUCKETS)
+    assert r2 == {"processed_rows": 0, "processed_buckets": 0}
+    # output has exactly N rows, no duplicates
+    assert spark.read.parquet(out).count() == N
+
+
+def test_resume_after_partial_commit(spark, paths, tmp_path):
+    out, metrics = paths
+    pages = spark_web_pages(spark, N)
+    run_incremental(spark, pages, out, metrics, "snap1", N_BUCKETS)
+
+    # simulate a crashed run: drop half the committed buckets + output
+    mdf = spark.read.parquet(metrics)
+    schema = mdf.schema
+    m = mdf.where("bucket < 8").collect()
+    shutil.rmtree(metrics)
+    shutil.rmtree(out)
+    spark.createDataFrame(m, schema=schema).write.parquet(metrics)
+    # re-create output for the surviving buckets only
+    full = quality_pipeline(spark, pages, n_buckets=N_BUCKETS)
+    full.where("bucket < 8").write.partitionBy("bucket").parquet(out)
+
+    r = run_incremental(spark, pages, out, metrics, "snap2", N_BUCKETS)
+    assert r["processed_buckets"] == 8  # only the missing half
+    assert spark.read.parquet(out).count() == N
+    assert committed_buckets(spark, metrics).count() == N_BUCKETS
+
+
+def test_checksum_deterministic_and_partition_invariant(spark):
+    pages = spark_web_pages(spark, N)
+    lab1 = quality_pipeline(spark, pages, n_buckets=N_BUCKETS)
+    lab2 = quality_pipeline(
+        spark, pages.repartition(7), n_buckets=N_BUCKETS)  # different layout
+    a = {r["bucket"]: r["checksum"]
+         for r in lineage_rows(lab1, "s").collect()}
+    b = {r["bucket"]: r["checksum"]
+         for r in lineage_rows(lab2, "s").collect()}
+    assert a == b and len(a) == N_BUCKETS
+
+
+def test_drop_hist_matches_oracle(spark):
+    from lgid_spark.datagen import pandas_web_pages
+    from lgid_spark.oracle.reference import process_pages
+
+    pages = spark_web_pages(spark, N)
+    lab = quality_pipeline(spark, pages, n_buckets=N_BUCKETS)
+    lin = lineage_rows(lab, "s").collect()
+    golden = process_pages(pandas_web_pages(N))
+    want: dict[str, int] = {}
+    for reasons in golden.drop_reasons:
+        for r in reasons:
+            want[r] = want.get(r, 0) + 1
+    got: dict[str, int] = {}
+    for row in lin:
+        for k, v in (row["drop_hist"] or {}).items():
+            got[k] = got.get(k, 0) + v
+    assert got == want
