@@ -1,0 +1,130 @@
+"""Candidate-language classifier — the reference's model surface
+(/root/reference/lgid/models.py) re-expressed on spark.ml.
+
+  M1 DictVectorizer   → HashingTF over active feature names (stateless
+                        hashing ⇒ no fitted vocabulary to ship; the
+                        scale-friendly choice for 10^12 rows)
+  M3 LogisticRegression fit (models.py:113-125)
+  M4 predict_proba    → model.transform → probability vector column
+  M6 (de)serialize    → spark.ml save/load (models.py:189-203)
+  M7 n-fold CV        → deterministic xxhash64(doc_id) % k folds
+                        (replaces random.seed(1) shuffling, main.py:188-233)
+  O1 per-group argmax + min-max normalize (main.py:301-323): ties take
+     the first candidate by (lang_name, lang_code) — np.argmax-first
+     pinned deterministically.
+  O2 signed prob: probability negated when the best class is False
+     (main.py:314-319).
+
+Instances follow FIXTURES.md §7:
+  (doc_id, span_id, lineno, lang_name, lang_code, label boolean,
+   feats map<string,boolean>)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.ml.classification import LogisticRegression, LogisticRegressionModel
+from pyspark.ml.feature import HashingTF
+
+N_FEATURES = 1 << 18
+
+GROUP = ["doc_id", "span_id", "lineno"]
+
+
+def vectorize(instances: DataFrame) -> DataFrame:
+    """map<string,boolean> feats → sparse vector of hashed active keys.
+    (Sparse boolean dict ≡ bag of active feature names.)"""
+    active = F.sort_array(
+        F.map_keys(F.map_filter("feats", lambda _, v: v))
+    )
+    df = instances.withColumn("active_feats", active)
+    tf = HashingTF(
+        inputCol="active_feats", outputCol="features",
+        numFeatures=N_FEATURES, binary=True,
+    )
+    return tf.transform(df)
+
+
+def train(instances: DataFrame) -> LogisticRegressionModel:
+    vec = vectorize(instances).withColumn(
+        "label_d", F.col("label").cast("double"))
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="label_d",
+        regParam=1e-4, maxIter=100, standardization=False,
+    )
+    return lr.fit(vec)
+
+
+def score(instances: DataFrame, model: LogisticRegressionModel) -> DataFrame:
+    """Add p_true = P(label=True | feats) per candidate row."""
+    from pyspark.ml.functions import vector_to_array
+
+    vec = vectorize(instances)
+    out = model.transform(vec)
+    p_true = F.element_at(vector_to_array(F.col("probability")), 2)
+    return out.withColumn("p_true", p_true).drop(
+        "rawPrediction", "probability", "prediction", "features",
+        "active_feats",
+    )
+
+
+def best_candidates(scored: DataFrame) -> DataFrame:
+    """O1/O2: min-max normalize p_true within each (doc,span,line) group
+    and keep the argmax candidate; signed_prob < 0 means the model says
+    'not this language' for the winning candidate."""
+    w = Window.partitionBy(*GROUP)
+    rk = Window.partitionBy(*GROUP).orderBy(
+        F.desc("p_true"), F.asc("lang_name"), F.asc("lang_code"))
+    norm = F.when(
+        F.max("p_true").over(w) == F.min("p_true").over(w), F.lit(1.0)
+    ).otherwise(
+        (F.col("p_true") - F.min("p_true").over(w))
+        / (F.max("p_true").over(w) - F.min("p_true").over(w))
+    )
+    signed = F.when(F.col("p_true") >= 0.5, F.col("p_true")).otherwise(
+        -F.col("p_true"))
+    return (
+        scored.withColumn("norm_prob", norm)
+        .withColumn("signed_prob", signed)
+        .withColumn("_rk", F.row_number().over(rk))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+        .withColumn(
+            "prediction", F.concat_ws("-", "lang_name", "lang_code"))
+    )
+
+
+def with_folds(instances: DataFrame, k: int = 5) -> DataFrame:
+    """M7: deterministic fold assignment by document (same doc never
+    straddles train/test, matching the reference's by-file folds)."""
+    return instances.withColumn(
+        "fold", F.pmod(F.xxhash64("doc_id"), F.lit(k)).cast("int"))
+
+
+def cross_validate(instances: DataFrame, k: int = 5) -> list[dict]:
+    """Per-fold train/test accuracy on the group-argmax prediction
+    (accuracy = fraction of groups whose winning candidate has
+    label=True — main.py:374-423 'right' counting)."""
+    folded = with_folds(instances, k).persist()
+    results = []
+    try:
+        for fold in range(k):
+            train_df = folded.where(F.col("fold") != fold)
+            test_df = folded.where(F.col("fold") == fold)
+            if test_df.limit(1).count() == 0:
+                continue
+            model = train(train_df)
+            best = best_candidates(score(test_df, model))
+            agg = best.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("label").cast("long")).alias("right"),
+            ).collect()[0]
+            results.append({
+                "fold": fold,
+                "n_groups": agg["n"],
+                "accuracy": (agg["right"] or 0) / agg["n"] if agg["n"] else 0.0,
+            })
+    finally:
+        folded.unpersist()
+    return results

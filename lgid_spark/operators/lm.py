@@ -1,0 +1,124 @@
+"""Language-model n-gram table build — the reference's `build-odin-lm`
+entry point (/root/reference/lgid/buildlms.py:38-128) re-expressed as a
+DataFrame aggregation (SURVEY §2 S9/A5, §3.3).
+
+Reference lifecycle: XML → filtered L-lines → CountVectorizer per
+(lang, gram_type) → `ngram\\tcount` files. Spark lifecycle: corpus DF →
+explode(ngrams) → groupBy(lang_code, gram_type, ngram).count() →
+write.partitionBy(lang_code, gram_type) — partition-pruned at query
+time exactly like the reference's per-doc LM pruning (main.py:567-576).
+
+N-gram functions mirror analyzers.py:
+  char  (analyzers.py:285-310): per word, pad with spaces, all n-grams
+        for n in [min, max]
+  word  (analyzers.py:313-336): token n-grams
+  morph (analyzers.py:338-362): split on [\\s\\-=+]+ first
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def char_ngrams_col(text, n: int):
+    """Array of padded char n-grams over each word (pure SQL — stays in
+    whole-stage codegen; no Python)."""
+    words = F.filter(F.split(F.trim(text), r"(?U)\s+"), lambda w: w != F.lit(""))
+    grams_per_word = F.transform(
+        words,
+        lambda w: F.transform(
+            F.sequence(F.lit(1), F.greatest(
+                F.length(w) + 2 - n + 1, F.lit(0))),
+            lambda i: F.concat(F.lit(" "), w, F.lit(" ")).substr(i, F.lit(n)),
+        ),
+    )
+    return F.flatten(grams_per_word)
+
+
+def word_ngrams_col(text, n: int):
+    words = F.filter(F.split(F.trim(text), r"(?U)\s+"), lambda w: w != F.lit(""))
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - n + 1, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + k) for k in range(n)]),
+    )
+
+
+def morph_ngrams_col(text, n: int):
+    morphs = F.filter(
+        F.split(F.trim(text), r"[\s\-=+]+"), lambda w: w != F.lit(""))
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(morphs) - n + 1, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(morphs, i + k) for k in range(n)]),
+    )
+
+
+def build_lm_ngrams(
+    corpus: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    char_n: int = 3,
+    word_n: int = 2,
+) -> DataFrame:
+    """corpus(lang, text) → lm_ngrams(lang_code, gram_type, ngram, count)."""
+    t = F.col(text_col)
+    parts = []
+    for gram_type, col in (
+        ("char", char_ngrams_col(t, char_n)),
+        ("word", word_ngrams_col(t, word_n)),
+        ("morph", morph_ngrams_col(t, word_n)),
+    ):
+        parts.append(
+            corpus.select(
+                F.col(lang_col).alias("lang_code"),
+                F.lit(gram_type).alias("gram_type"),
+                F.explode(col).alias("ngram"),
+            )
+        )
+    stacked = parts[0]
+    for p in parts[1:]:
+        stacked = stacked.unionByName(p)
+    return (
+        stacked.filter(F.length("ngram") > 0)
+        .groupBy("lang_code", "gram_type", "ngram")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def write_lm_table(lm: DataFrame, path: str) -> None:
+    """S9 sink: partitioned by (lang_code, gram_type) so per-language
+    loads prune partitions (the Spark form of main.py:567-576)."""
+    lm.write.mode("overwrite").partitionBy("lang_code", "gram_type").parquet(path)
+
+
+def lm_match_ratio(df: DataFrame, lm: DataFrame, text_col: str, lang_col: str,
+                   char_n: int = 3) -> DataFrame:
+    """A6/J3: fraction of a row's char n-grams present in the LM for its
+    language (features.py:337-354 LM-match ratio, membership-only like
+    util.py:103-111). Left-semi join on (lang, ngram), counts ÷ total."""
+    grams = df.withColumn(
+        "_rid", F.monotonically_increasing_id()  # per source row, pre-explode
+    ).select(
+        F.col(lang_col).alias("lang_code"),
+        "_rid",
+        F.explode(char_ngrams_col(F.col(text_col), char_n)).alias("ngram"),
+    )
+    totals = grams.groupBy("_rid", "lang_code").agg(
+        F.count("*").alias("n_total"))
+    hits = (
+        grams.join(
+            lm.filter(F.col("gram_type") == "char").select("lang_code", "ngram"),
+            ["lang_code", "ngram"], "left_semi")
+        .groupBy("_rid", "lang_code")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        totals.join(hits, ["_rid", "lang_code"], "left")
+        .select(
+            "lang_code",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_total")
+             ).alias("match_ratio"),
+        )
+    )

@@ -1,0 +1,230 @@
+"""Operator-backed driver queries: LM build (S9/A5), LM match ratio
+(A6/J3), mention extraction (the analyzers.py operator), multimodal
+plumbing, classifier CV — wired over the driver-provided tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.lm import build_lm_ngrams, lm_match_ratio
+from ..operators.mentions import extract_mentions
+from ..operators.multimodal import extract_media_features, synthetic_media
+from .util import t
+
+QUERIES = {}
+ORACLE_SQL = {}
+
+
+def _q(name):
+    def reg(fn):
+        QUERIES[name] = fn
+        return fn
+    return reg
+
+
+_WORDS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
+
+
+# ---------------------------------------------------------------------------
+# lm_char_trigrams — LM build over documents: top-50 per-language padded
+# char trigrams (buildlms.py semantics; oracle replays the padding math).
+# ---------------------------------------------------------------------------
+
+@_q("lm_char_trigrams")
+def lm_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("lang", "text")
+    lm = build_lm_ngrams(docs, char_n=3, word_n=2)
+    return (
+        lm.filter(F.col("gram_type") == "char")
+        .orderBy(F.desc("count"), F.asc("lang_code"), F.asc("ngram"))
+        .limit(50)
+    )
+
+
+ORACLE_SQL["lm_char_trigrams"] = f"""
+WITH w AS (
+  SELECT lang AS lang_code, unnest({_WORDS_SQL}) AS word FROM documents
+), g AS (
+  SELECT lang_code, substr(' ' || word || ' ', i, 3) AS ngram
+  FROM w, unnest(generate_series(1, length(word))) u(i)
+)
+SELECT lang_code, 'char' AS gram_type, ngram, COUNT(*) AS count
+FROM g GROUP BY lang_code, ngram
+ORDER BY count DESC, lang_code ASC, ngram ASC
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# lm_word_bigrams — word-gram arm of the LM build, top-50.
+# ---------------------------------------------------------------------------
+
+@_q("lm_word_bigrams")
+def lm_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("lang", "text")
+    lm = build_lm_ngrams(docs, char_n=3, word_n=2)
+    return (
+        lm.filter(F.col("gram_type") == "word")
+        .orderBy(F.desc("count"), F.asc("lang_code"), F.asc("ngram"))
+        .limit(50)
+    )
+
+
+ORACLE_SQL["lm_word_bigrams"] = f"""
+WITH w AS (SELECT lang AS lang_code, {_WORDS_SQL} AS words FROM documents)
+SELECT lang_code, 'word' AS gram_type,
+       words[i] || ' ' || words[i+1] AS ngram, COUNT(*) AS count
+FROM w, unnest(generate_series(1, len(words)-1)) u(i)
+WHERE len(words) >= 2
+GROUP BY lang_code, ngram
+ORDER BY count DESC, lang_code ASC, ngram ASC
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# mention_token_counts — the mention-extractor operator over documents
+# (one line per doc), inline name table with a multi-word name and
+# multi-code fan-out; oracle counts token runs in SQL.
+# ---------------------------------------------------------------------------
+
+_MENTION_TABLE = {
+    "table": ["tbl", "tab"],
+    "merge": ["mrg"],
+    "fast join": ["fj1", "fj2"],
+    "window": ["win"],
+}
+
+
+@_q("mention_token_counts")
+def mention_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(1).alias("lineno"),
+        "text",
+    )
+    mentions = extract_mentions(spark, lines, _MENTION_TABLE)
+    return (
+        mentions.groupBy("name", "code")
+        .agg(F.count("*").alias("n_mentions"))
+        .orderBy("name", "code")
+    )
+
+
+def _mention_oracle_sql() -> str:
+    # token-run counting per name; fan-out per code via the dim union
+    dim = " UNION ALL ".join(
+        f"SELECT '{name}' AS name, '{code}' AS code"
+        for name, codes in _MENTION_TABLE.items()
+        for code in codes
+    )
+    return f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+occ1 AS (  -- single-word names
+  SELECT w.doc_id, words[i] AS name
+  FROM w, unnest(generate_series(1, len(words))) u(i)
+  WHERE words[i] IN ('table', 'merge', 'window')
+),
+occ2 AS (  -- the multi-word name
+  SELECT w.doc_id, 'fast join' AS name
+  FROM w, unnest(generate_series(1, len(words)-1)) u(i)
+  WHERE words[i] = 'fast' AND words[i+1] = 'join'
+),
+occ AS (SELECT * FROM occ1 UNION ALL SELECT * FROM occ2),
+dim AS ({dim})
+SELECT dim.name AS name, dim.code AS code, COUNT(*) AS n_mentions
+FROM occ JOIN dim ON occ.name = dim.name
+GROUP BY dim.name, dim.code
+ORDER BY 1, 2
+"""
+
+
+ORACLE_SQL["mention_token_counts"] = _mention_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# lm_match_ratio_stats — A6/J3: build char LM from even docs, score odd
+# docs' texts against their own language's LM (left-semi membership).
+# ---------------------------------------------------------------------------
+
+@_q("lm_match_ratio_stats")
+def lm_match_ratio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0).select("lang", "text")
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    lm = build_lm_ngrams(train, char_n=3, word_n=2)
+    ratios = lm_match_ratio(test, lm, "text", "lang")
+    return ratios.groupBy("lang_code").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("match_ratio"), 6).alias("mean_match_ratio"),
+        F.round(F.min("match_ratio"), 6).alias("min_match_ratio"),
+    )
+
+
+ORACLE_SQL["lm_match_ratio_stats"] = f"""
+WITH train_w AS (
+  SELECT lang, unnest({_WORDS_SQL}) AS word FROM documents WHERE doc_id % 2 = 0
+), lm AS (
+  SELECT DISTINCT lang, substr(' ' || word || ' ', i, 3) AS ngram
+  FROM train_w, unnest(generate_series(1, length(word))) u(i)
+), test_w AS (
+  SELECT doc_id, lang, unnest({_WORDS_SQL}) AS word FROM documents WHERE doc_id % 2 = 1
+), test_g AS (
+  SELECT doc_id, lang, substr(' ' || word || ' ', i, 3) AS ngram
+  FROM test_w, unnest(generate_series(1, length(word))) u(i)
+), per_doc AS (
+  SELECT g.doc_id, g.lang,
+         CAST(COUNT(lm.ngram) AS DOUBLE) / COUNT(*) AS match_ratio
+  FROM test_g g LEFT JOIN lm ON g.lang = lm.lang AND g.ngram = lm.ngram
+  GROUP BY g.doc_id, g.lang
+)
+SELECT lang AS lang_code, COUNT(*) AS n_docs,
+       ROUND(AVG(match_ratio), 6) AS mean_match_ratio,
+       ROUND(MIN(match_ratio), 6) AS min_match_ratio
+FROM per_doc GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only entries (non-SQL-expressible surfaces)
+# ---------------------------------------------------------------------------
+
+def _media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = extract_media_features(synthetic_media(spark, 300))
+    return feats.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("width"), 2).alias("mean_width"),
+        F.round(F.avg(F.element_at("feature", 1)), 4).alias("mean_f0"),
+    )
+
+
+QUERIES["media_feature_stats"] = _media_feature_stats
+
+
+def _classifier_cv_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-fold CV of the candidate classifier on synthetic instances."""
+    from ..operators.classifier import cross_validate
+
+    langs = [("tokri", "tk1"), ("molvani", "mv1"), ("quenya", "qya")]
+    rows = []
+    for d in range(24):
+        correct = langs[d % len(langs)]
+        for (name, code) in langs:
+            is_right = (name, code) == correct
+            feats = {"in_span": is_right, "w_close": is_right, "w_prev": True}
+            rows.append((f"doc{d}", "s1", 10, name, code, is_right, feats))
+    inst = spark.createDataFrame(
+        rows,
+        "doc_id string, span_id string, lineno int, lang_name string, "
+        "lang_code string, label boolean, feats map<string,boolean>",
+    )
+    res = cross_validate(inst, k=3)
+    return spark.createDataFrame(
+        [(r["fold"], r["n_groups"], float(r["accuracy"])) for r in res],
+        "fold int, n_groups long, accuracy double",
+    )
+
+
+QUERIES["classifier_cv"] = _classifier_cv_impl

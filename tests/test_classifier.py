@@ -1,0 +1,112 @@
+"""Classifier surface tests (M1-M7, O1/O2) on synthetic instances."""
+
+from __future__ import annotations
+
+import pytest
+
+from lgid_spark.operators.classifier import (
+    best_candidates,
+    cross_validate,
+    score,
+    train,
+    with_folds,
+)
+
+LANGS = [("tokri", "tk1"), ("molvani", "mv1"), ("quenya", "qya")]
+
+
+def _instances(n_docs: int = 24):
+    """Synthetic candidate rows: the correct candidate carries
+    'in_span' + 'w_close' features; wrong ones carry noise flags."""
+    rows = []
+    for d in range(n_docs):
+        doc = f"doc{d}"
+        correct = LANGS[d % len(LANGS)]
+        for (name, code) in LANGS:
+            is_right = (name, code) == correct
+            feats = {
+                "in_span": is_right,
+                "w_close": is_right,
+                "w_prev": True,
+                f"name_{name}": True,
+            }
+            rows.append((doc, "s1", 10, name, code, is_right, feats))
+    return rows
+
+
+SCHEMA = (
+    "doc_id string, span_id string, lineno int, lang_name string, "
+    "lang_code string, label boolean, feats map<string,boolean>"
+)
+
+
+@pytest.fixture(scope="module")
+def instances(spark):
+    return spark.createDataFrame(_instances(), SCHEMA)
+
+
+def test_train_score_argmax(spark, instances):
+    model = train(instances)
+    best = best_candidates(score(instances, model))
+    rows = best.collect()
+    assert len(rows) == 24  # one winner per group
+    acc = sum(1 for r in rows if r.label) / len(rows)
+    assert acc == 1.0  # separable by construction
+    for r in rows:
+        assert r.norm_prob == 1.0  # winner is the group max
+        assert r.prediction == f"{r.lang_name}-{r.lang_code}"
+        assert r.signed_prob > 0
+
+
+def test_tie_break_deterministic(spark):
+    # two candidates with identical feats → identical p_true → tie
+    rows = [
+        ("d", "s", 1, "zebra", "zz", False, {"x": True}),
+        ("d", "s", 1, "alpha", "aa", False, {"x": True}),
+        ("d", "s", 1, "alpha", "ab", False, {"x": True}),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    model = train(df)
+    best = best_candidates(score(df, model)).collect()
+    assert len(best) == 1
+    # min-max degenerate group → norm 1.0; tie broken by name, then code
+    assert (best[0].lang_name, best[0].lang_code) == ("alpha", "aa")
+    assert best[0].norm_prob == 1.0
+
+
+def test_signed_prob_negative_when_unconfident(spark, instances):
+    model = train(instances)
+    scored = score(instances, model)
+    wrong = scored.where("label = false")
+    row = best_candidates(wrong).first()
+    # all candidates in the group are wrong → winner has p_true < 0.5
+    assert row.signed_prob < 0
+
+
+def test_model_save_load_roundtrip(spark, instances, tmp_path):
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    model = train(instances)
+    path = str(tmp_path / "model")
+    model.write().overwrite().save(path)
+    loaded = LogisticRegressionModel.load(path)
+    a = best_candidates(score(instances, model)).select("doc_id", "prediction")
+    b = best_candidates(score(instances, loaded)).select("doc_id", "prediction")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_folds_deterministic_and_partitioning(spark, instances):
+    f1 = with_folds(instances, 5).select("doc_id", "fold").distinct().collect()
+    f2 = with_folds(instances, 5).select("doc_id", "fold").distinct().collect()
+    assert sorted(map(tuple, f1)) == sorted(map(tuple, f2))
+    per_doc = {}
+    for r in f1:
+        per_doc.setdefault(r.doc_id, set()).add(r.fold)
+    assert all(len(v) == 1 for v in per_doc.values())
+
+
+def test_cross_validate(spark, instances):
+    results = cross_validate(instances, k=3)
+    assert len(results) == 3
+    for r in results:
+        assert r["accuracy"] == 1.0  # separable everywhere

@@ -1,0 +1,69 @@
+"""Multimodal plumbing + LM build/match tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lgid_spark.operators.lm import build_lm_ngrams, lm_match_ratio, write_lm_table
+from lgid_spark.operators.multimodal import (
+    FEATURE_DIM,
+    extract_media_features,
+    synthetic_media,
+)
+
+
+def test_media_features_shapes(spark):
+    media = synthetic_media(spark, 60)
+    feats = extract_media_features(media)
+    rows = feats.collect()
+    assert len(rows) == 60
+    for r in rows:
+        assert len(r.feature) == FEATURE_DIM
+        assert 16 <= r.width < 80 and 16 <= r.height < 80
+        assert r.n_bytes > 0
+    # deterministic across runs
+    again = {r.media_id: tuple(r.feature) for r in extract_media_features(media).collect()}
+    assert again == {r.media_id: tuple(r.feature) for r in rows}
+
+
+def test_media_strict_mode_raises(spark):
+    from py4j.protocol import Py4JJavaError
+
+    media = synthetic_media(spark, 4)
+    with pytest.raises(Exception) as e:
+        extract_media_features(media, strict=True).collect()
+    assert "NotImplementedError" in str(e.value)
+
+
+def test_lm_build_and_match(spark, tmp_path):
+    corpus = spark.createDataFrame(
+        [("aaa", "foo bar baz"), ("aaa", "foo qux"), ("bbb", "zip zap-zop")],
+        ["lang", "text"],
+    )
+    lm = build_lm_ngrams(corpus)
+    rows = {(r.lang_code, r.gram_type, r.ngram): r["count"] for r in lm.collect()}
+    # word bigrams
+    assert rows[("aaa", "word", "foo bar")] == 1
+    assert rows[("aaa", "word", "foo qux")] == 1
+    # morph split breaks zap-zop
+    assert rows[("bbb", "morph", "zip zap")] == 1
+    assert rows[("bbb", "morph", "zap zop")] == 1
+    assert ("bbb", "word", "zip zap-zop") in rows  # word grams keep the dash
+    # char trigram of padded ' foo '
+    assert rows[("aaa", "char", " fo")] == 2
+
+    path = str(tmp_path / "lm")
+    write_lm_table(lm, path)
+    back = spark.read.parquet(path)
+    assert back.count() == lm.count()
+    # partition pruning applies: filter on lang_code reads one partition
+    plan = back.filter(F.col("lang_code") == "aaa")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "lang_code" in plan
+
+    # match ratio: text fully covered by its own LM → 1.0
+    probe = spark.createDataFrame([("aaa", "foo bar"), ("bbb", "foo bar")], ["lang", "text"])
+    ratios = {r.lang_code: r.match_ratio for r in
+              lm_match_ratio(probe, back, "text", "lang").collect()}
+    assert ratios["aaa"] == 1.0
+    assert ratios["bbb"] < 0.5  # wrong language ⇒ few grams match
