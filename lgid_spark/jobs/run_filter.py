@@ -1,0 +1,59 @@
+"""spark-submit entrypoint for the quality-filter pipeline (north_rule:
+"ships as a spark-submit --py-files package").
+
+Usage:
+    spark-submit --py-files dist/lgid_spark.zip \\
+        lgid_spark/jobs/run_filter.py \\
+        --input  /path/web_pages_parquet   (or synth:N for synthetic)
+        --output /path/filtered
+        --metrics /path/metrics
+        [--snapshot-id run-2026-08-16] [--buckets 64]
+
+Resumable: re-running with the same metrics path processes only buckets
+not yet committed (lineage.run_incremental). Prints one JSON summary
+line to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="web_pages parquet path, or synth:N")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--metrics", required=True)
+    ap.add_argument("--snapshot-id", default=None)
+    ap.add_argument("--buckets", type=int, default=64)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    # under spark-submit the session/master comes from the launcher
+    spark = SparkSession.builder.appName("lgid_filter").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    from lgid_spark.datagen import spark_web_pages
+    from lgid_spark.lineage import run_incremental
+
+    if args.input.startswith("synth:"):
+        pages = spark_web_pages(spark, int(args.input.split(":", 1)[1]))
+    else:
+        pages = spark.read.parquet(args.input)
+
+    snapshot = args.snapshot_id or f"snap-{int(time.time())}"
+    t0 = time.time()
+    res = run_incremental(
+        spark, pages, args.output, args.metrics, snapshot, args.buckets)
+    res.update({"snapshot_id": snapshot, "sec": round(time.time() - t0, 2)})
+    print(json.dumps(res))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

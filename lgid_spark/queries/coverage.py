@@ -1,0 +1,220 @@
+"""Coverage-breadth queries: grouping sets/rollup (§2.4 note), set ops
+(§2.7), normalization P3/P4 (NFKD accent fold), mention recall A8,
+embedding-cosine near-dup pairs (dedup family, blocked by label)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .util import dsum, t
+
+QUERIES = {}
+ORACLE_SQL = {}
+
+
+def _q(name):
+    def reg(fn):
+        QUERIES[name] = fn
+        return fn
+    return reg
+
+
+# ---------------------------------------------------------------------------
+# rollup_pricing — ROLLUP with grouping flags (Catalyst rollup ↔ DuckDB).
+# ---------------------------------------------------------------------------
+
+@_q("rollup_pricing")
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n", "sum_qty",
+        )
+    )
+
+
+ORACLE_SQL["rollup_pricing"] = """
+SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       COALESCE(l_linestatus, 'ALL') AS ls,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# segment_setops — §2.7: INTERSECT / EXCEPT over customer keys.
+# ---------------------------------------------------------------------------
+
+@_q("segment_setops")
+def segment_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    building = cust.where("c_mktsegment = 'BUILDING'").select(
+        F.col("c_custkey").alias("k"))
+    big = orders.where("o_totalprice > 300000").select(
+        F.col("o_custkey").alias("k")).distinct()
+    both = building.intersect(big).withColumn("set_op", F.lit("intersect"))
+    only_building = building.exceptAll(big).withColumn("set_op", F.lit("except"))
+    return both.unionByName(only_building).groupBy("set_op").agg(
+        F.count("*").alias("n"))
+
+
+ORACLE_SQL["segment_setops"] = """
+WITH building AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+big AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 300000),
+both_k AS (SELECT k FROM building INTERSECT SELECT k FROM big),
+only_b AS (SELECT k FROM building EXCEPT ALL SELECT k FROM big)
+SELECT 'intersect' AS set_op, COUNT(*) AS n FROM both_k
+UNION ALL
+SELECT 'except' AS set_op, COUNT(*) AS n FROM only_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# accent_fold — P3/P4 normalization: inject accents deterministically,
+# fold them back with NFKD (pandas UDF ↔ DuckDB strip_accents).
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(T.StringType())
+def nfkd_fold_udf(s: pd.Series) -> pd.Series:
+    import unicodedata
+
+    def fold(x: str) -> str:
+        d = unicodedata.normalize("NFKD", x or "")
+        return "".join(c for c in d if not unicodedata.combining(c))
+
+    return s.map(fold)
+
+
+@_q("accent_fold")
+def accent_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    accented = F.translate(F.substring("text", 1, 60), "ae", "áé")
+    return docs.select(
+        "doc_id",
+        F.md5(nfkd_fold_udf(accented)).alias("folded_md5"),
+        F.length(accented).cast("bigint").alias("n_chars"),
+    )
+
+
+ORACLE_SQL["accent_fold"] = """
+SELECT doc_id,
+       md5(strip_accents(translate(substr(text, 1, 60), 'ae', 'áé'))) AS folded_md5,
+       CAST(length(translate(substr(text, 1, 60), 'ae', 'áé')) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# mention_recall — A8 (main.py:136-180 calc_mention_recall): fraction of
+# docs whose text contains at least one term mention, via the real
+# mention-extractor operator; SQL oracle counts token hits.
+# ---------------------------------------------------------------------------
+
+_RECALL_TERMS = {"table": ["t1"], "merge": ["m1"], "window": ["w1"]}
+
+
+@_q("mention_recall")
+def mention_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mentions import extract_mentions
+
+    docs = t(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(1).alias("lineno"), "text")
+    mentions = extract_mentions(spark, lines, _RECALL_TERMS)
+    hit_docs = mentions.select("doc_id").distinct()
+    total = docs.count()
+    return hit_docs.agg(
+        F.count("*").alias("docs_with_mention"),
+        (F.count("*") / F.lit(total)).alias("recall"),
+    )
+
+
+ORACLE_SQL["mention_recall"] = """
+WITH w AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words FROM documents),
+hits AS (
+  SELECT DISTINCT doc_id FROM w, unnest(words) AS u(tok)
+  WHERE tok IN ('table', 'merge', 'window')
+)
+SELECT COUNT(*) AS docs_with_mention,
+       CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM documents) AS recall
+FROM hits
+"""
+
+
+# ---------------------------------------------------------------------------
+# emb_near_dup_pairs — embedding-cosine near-dup, label-blocked (the
+# IVF-style candidate restriction), deterministic double fold both sides.
+# ---------------------------------------------------------------------------
+
+_DIM = 64
+_COS_MIN = 0.35
+
+_DOT = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+)
+_NORM_A = (
+    "sqrt(list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))"
+)
+_NORM_B = (
+    "sqrt(list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))"
+)
+
+
+@_q("emb_near_dup_pairs")
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(_DIM)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(x, i).cast("double") * F.element_at(y, i).cast("double"),
+        )
+
+    # rename columns on independently-read sides: a self-join through
+    # alias() breaks attribute binding inside higher-order functions
+    # (Spark 4 INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label"),
+        F.col("embedding").alias("emb_a"))
+    b = t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"))
+    pairs = a.join(
+        b,
+        (F.col("label") == F.col("label_b"))  # block on label (IVF-ish)
+        & (F.col("vec_a") < F.col("vec_b")),
+    )
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.sqrt(dot(F.col("emb_a"), F.col("emb_a")))
+        * F.sqrt(dot(F.col("emb_b"), F.col("emb_b")))
+    )
+    return (
+        pairs.withColumn("cos_sim", F.round(cos, 6))
+        .where(F.col("cos_sim") >= _COS_MIN)
+        .select("vec_a", "vec_b", "label", "cos_sim")
+    )
+
+
+ORACLE_SQL["emb_near_dup_pairs"] = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       ROUND({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND({_DOT} / ({_NORM_A} * {_NORM_B}), 6) >= {_COS_MIN}
+"""

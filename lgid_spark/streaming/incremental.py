@@ -1,0 +1,49 @@
+"""Structured-Streaming incremental ingest (SURVEY §2.10 stretch goal).
+
+The batch resume path (lineage.run_incremental) is the primary
+incremental mechanism; this module provides the equivalent semantics as
+a `Trigger.AvailableNow` stream: each invocation processes exactly the
+files that appeared since the last checkpoint, runs the full quality
+pipeline, and appends to the output — then stops. Checkpoint state
+lives with the query, so crash/restart resumes mid-listing safely.
+
+readStream(parquet dir) → quality_pipeline (stateless narrow map — the
+same fused Arrow UDF works unchanged on a streaming frame) →
+writeStream(parquet, append, availableNow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..datagen import spark_web_pages  # noqa: F401  (docs: schema source)
+from ..pipeline import quality_pipeline
+
+WEB_PAGES_DDL = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def process_available(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+) -> None:
+    """Drain everything new under input_dir through the pipeline."""
+    stream = (
+        spark.readStream.schema(WEB_PAGES_DDL)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+    labelled = quality_pipeline(spark, stream).drop("warc_ts")
+    q = (
+        labelled.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

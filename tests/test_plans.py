@@ -1,0 +1,68 @@
+"""Physical-plan audits: the scale properties claimed in docstrings are
+asserted here so regressions in plan shape fail CI, not the cluster.
+
+(SURVEY §4: pushdown/pruning/broadcast come from Catalyst only if the
+plan stays declarative — these tests pin that.)
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from lgid_spark.queries.relational import q1_pricing_summary, q3_top_revenue, region_rollup
+from lgid_spark.queries.textops import token_stats
+from lgid_spark.queries.windowed import error_window_join
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _plan(region_rollup(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_partial_aggregation_and_pushdown(spark):
+    df = q1_pricing_summary(spark, SF)
+    plan = _plan(df)
+    # map-side combine: partial + final HashAggregate pair
+    assert plan.count("HashAggregate") >= 2
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    scan = _plan(df)
+    # shipdate filter reaches the parquet scan
+    assert "PushedFilters: [" in scan and "l_shipdate" in scan.split("PushedFilters")[1][:200]
+
+
+def test_q3_topk_is_take_ordered(spark):
+    plan = _plan(q3_top_revenue(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(token_stats(spark, SF))
+    # only doc_id + text are read; lang/source/n_chars pruned
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read and "doc_id" in read
+    assert "n_chars" not in read and "source" not in read
+
+
+def test_range_join_is_hash_not_nested_loop(spark):
+    plan = _plan(error_window_join(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pipeline_is_shuffle_free(spark):
+    from lgid_spark.datagen import spark_web_pages
+    from lgid_spark.pipeline import quality_pipeline
+
+    out = quality_pipeline(spark, spark_web_pages(spark, 64))
+    plan = _plan(out.select("url", "keep"))
+    # narrow map end-to-end: no Exchange until someone aggregates
+    assert "Exchange" not in plan

@@ -1,0 +1,28 @@
+"""AvailableNow incremental streaming: two file batches, no reprocessing."""
+
+from __future__ import annotations
+
+from lgid_spark.datagen import spark_web_pages
+from lgid_spark.streaming.incremental import process_available
+
+
+def test_available_now_incremental(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark_web_pages(spark, 100).write.mode("append").parquet(inp)
+    process_available(spark, inp, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 100
+
+    # second batch of NEW files — only these are processed
+    spark_web_pages(spark, 60).write.mode("append").parquet(inp)
+    process_available(spark, inp, out, ckpt)
+    df = spark.read.parquet(out)
+    # exactly-once: 100 from the first drain + only the 60 new files
+    # from the second (reprocessing would yield 100 extra)
+    assert df.count() == 160
+    # keep labels survived the streaming path
+    assert df.where("keep").count() > 0
+    assert "drop_reasons" in df.columns
