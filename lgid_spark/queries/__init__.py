@@ -17,13 +17,13 @@ Parity rules used throughout (Spark ↔ DuckDB 1.0):
     character classes match RE2/Python on the synthetic data.
 """
 
-from . import advanced, coverage, relational, windowed, textops, similarity  # noqa: F401
+from . import advanced, coverage, relational, skew, windowed, textops, similarity  # noqa: F401
 
 
 def build_registry():
     queries: dict = {}
     oracle: dict = {}
-    for mod in (relational, windowed, textops, similarity, advanced, coverage):
+    for mod in (relational, windowed, textops, similarity, advanced, coverage, skew):
         queries.update(mod.QUERIES)
         oracle.update(mod.ORACLE_SQL)
     return queries, oracle

@@ -58,6 +58,28 @@ def test_range_join_is_hash_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_salted_agg_is_two_stage(spark):
+    from lgid_spark.queries.skew import salted_host_agg
+
+    df = salted_host_agg(spark, SF)
+    plan = _plan(df)
+    # two shuffles: (key, salt) pre-agg then key combine — the hot key
+    # is split across salt partitions in the heavy first stage
+    assert plan.count("Exchange") >= 2
+    # correctness equal to plain agg
+    import os
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    plain = {
+        r["source"]: (r["n"], r["c"]) for r in docs.groupBy("source").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("n_chars").cast("long")).alias("c")).collect()
+    }
+    salted = {r["host"]: (r["n_docs"], r["total_chars"]) for r in df.collect()}
+    assert plain == salted
+
+
 def test_pipeline_is_shuffle_free(spark):
     from lgid_spark.datagen import spark_web_pages
     from lgid_spark.pipeline import quality_pipeline
