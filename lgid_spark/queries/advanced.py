@@ -228,3 +228,25 @@ def _classifier_cv_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["classifier_cv"] = _classifier_cv_impl
+
+
+def _xigt_lm_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the build-odin-lm lifecycle (S6→A5→S9) over synthetic
+    Xigt XML — XML parse → normalized-L filter → n-gram counts."""
+    from ..operators.lm import build_lm_ngrams
+    from ..sources.xigt_xml import l_lines, read_xigt_xml, synthetic_xigt_xml
+
+    docs = spark.createDataFrame(
+        [(f"w{k}", synthetic_xigt_xml(f"w{k}", 4)) for k in range(8)],
+        ["doc_id", "xml"],
+    )
+    corpus = l_lines(read_xigt_xml(spark, docs)).selectExpr(
+        "lang_code as lang", "text")
+    lm = build_lm_ngrams(corpus)
+    return lm.groupBy("lang_code", "gram_type").agg(
+        F.count("*").alias("n_ngrams"),
+        F.sum("count").alias("total_count"),
+    )
+
+
+QUERIES["xigt_lm_build"] = _xigt_lm_build
