@@ -42,14 +42,28 @@ def _run_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as E
 
     queries = E.queries()
+    # warm the scans once (JIT + OS page cache) — we measure steady state
+    for tbl in ("lineitem", "orders", "customer", "events",
+                "documents", "embeddings"):
+        path = os.path.join(sf_dir, f"{tbl}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).count()
+    # two passes: pass 0 pays codegen/JIT (~60% of a cold run), pass 1 is
+    # the steady state we report; cold total is returned alongside.
+    cold_total = 0.0
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.time()
-        # count() forces full execution without driver-side materialization
-        fn(spark, sf_dir).count()
-        times[name] = round(time.time() - t0, 3)
-    return times
+    for rep in range(2):
+        for name in HEADLINE:
+            fn = queries[name]
+            t0 = time.time()
+            # count() forces full execution, no driver materialization
+            fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            if rep == 0:
+                cold_total += dt
+            else:
+                times[name] = round(dt, 3)
+    return times, round(cold_total, 3)
 
 
 _GEN_CACHE = "/tmp/lgid_bench_webpages_{n}.parquet"
@@ -184,8 +198,7 @@ def main() -> None:
     # warm the JVM/Arrow path once so measured times are steady-state
     spark.range(1000).count()
 
-    queries = _run_queries(spark, sf_dir)
-    gen_t0 = time.time()
+    queries, cold_total = _run_queries(spark, sf_dir)
     pipe_sec = _run_pipeline(spark, PIPELINE_DOCS)
     docs_per_sec = round(PIPELINE_DOCS / pipe_sec, 1)
     queries["filter_pipeline"] = round(pipe_sec, 3)
@@ -197,6 +210,7 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         "cpus": cpus,
+        "cold_pass_sec": cold_total,
         "filter_docs_per_sec": docs_per_sec,
         "pipeline_docs": PIPELINE_DOCS,
     }

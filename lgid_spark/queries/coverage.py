@@ -218,3 +218,49 @@ FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE ROUND({_DOT} / ({_NORM_A} * {_NORM_B}), 6) >= {_COS_MIN}
 """
+
+
+# ---------------------------------------------------------------------------
+# value_percentiles — exact continuous percentiles (Spark `percentile` ↔
+# DuckDB quantile_cont) per event type.
+# ---------------------------------------------------------------------------
+
+@_q("value_percentiles")
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+ORACLE_SQL["value_percentiles"] = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# distinct_aggs — exact distinct aggregates (§2.4 note: countDistinct).
+# ---------------------------------------------------------------------------
+
+@_q("distinct_aggs")
+def distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct("user_id", "event_type").alias("n_user_type_pairs"),
+    )
+
+
+ORACLE_SQL["distinct_aggs"] = """
+SELECT COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT event_type) AS n_types,
+       COUNT(DISTINCT (user_id, event_type)) AS n_user_type_pairs
+FROM events
+"""
