@@ -250,3 +250,33 @@ def _xigt_lm_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["xigt_lm_build"] = _xigt_lm_build
+
+
+def _classify_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the composed classify flagship (main.py §3.1) on a
+    crafted corpus — mentions → evidence → instances → LR → argmax."""
+    from ..classify import classify_documents
+    from ..fixtures import LANG_TABLE
+
+    langs = [("quenya", "qya"), ("valdese", "vld"), ("molvani", "mv1")]
+    rows = []
+    for d in range(9):
+        doc, (name, code) = f"doc{d}", langs[d % 3]
+        rows += [
+            (doc, 1, "O", None, None, None, f"notes on the {name} language"),
+            (doc, 2, "L", "s1", name, code, "ex am ple li ne"),
+            (doc, 3, "G", "s1", None, None, "gloss line"),
+        ]
+    lines = spark.createDataFrame(
+        rows,
+        "doc_id string, lineno int, tag string, span_id string, "
+        "lang_name string, lang_code string, text string",
+    )
+    best = classify_documents(spark, lines, LANG_TABLE)
+    return best.groupBy("prediction").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("label").cast("long")).alias("n_correct"),
+    )
+
+
+QUERIES["classify_lifecycle"] = _classify_lifecycle
