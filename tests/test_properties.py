@@ -1,0 +1,87 @@
+"""Property-based tests (hypothesis, derandomized for CI stability)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from lgid_spark.fixtures import LANG_TABLE
+from lgid_spark.operators.mentions import NameTable, find_mentions, normalize_name
+from lgid_spark.oracle.reference import (
+    extract_text,
+    get_langid_model,
+    metrics_for,
+    scrub_text,
+)
+
+TABLE = NameTable(LANG_TABLE)
+SETTINGS = settings(max_examples=150, derandomize=True, deadline=None)
+
+words = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu"), max_codepoint=0x24F),
+    min_size=1, max_size=10,
+)
+lines_of_text = st.lists(
+    st.lists(words, min_size=0, max_size=12).map(" ".join),
+    min_size=1, max_size=5,
+)
+
+
+@SETTINGS
+@given(lines_of_text)
+def test_mentions_single_word_count_matches_token_scan(lines):
+    """Every single-word-name mention corresponds to a normalized token
+    equal to that name, and vice versa (no over/under matching)."""
+    numbered = list(enumerate(lines, start=1))
+    ms = find_mentions(numbered, TABLE)
+    single_names = {
+        n for n, codes in LANG_TABLE.items() if " " not in normalize_name(n)
+    }
+    from lgid_spark.operators.mentions import _line_tokens
+
+    expected = 0
+    for _ln, text in numbered:
+        for tok, _s, _e in _line_tokens(text):
+            for name in single_names:
+                if tok == normalize_name(name):
+                    expected += len(LANG_TABLE[name])
+    got = sum(1 for m in ms if " " not in m.name)
+    assert got >= expected  # dash-splice can only add cross-line matches
+    # without any trailing dashes, counts are exact
+    if not any(t.rstrip().endswith("-") for t in lines):
+        assert got == expected
+
+
+@SETTINGS
+@given(st.text(max_size=300))
+def test_scrub_idempotent_and_stable(s):
+    once = scrub_text(s)
+    assert scrub_text(once) == once  # placeholders never re-match
+    assert "\x00" not in once or "\x00" in s
+
+
+@SETTINGS
+@given(st.text(max_size=400))
+def test_extract_strips_all_tags(payload):
+    html = f"<html><body><p>{payload}</p><script>x<y</script></body></html>"
+    out = extract_text(html.encode("utf-8"))
+    assert "<p>" not in out and "</p>" not in out
+    assert "script" not in out.lower() or "script" in payload.lower()
+
+
+@SETTINGS
+@given(st.text(max_size=400))
+def test_metrics_total_and_bounds(text):
+    m = metrics_for(text, "eng")
+    assert 0.0 <= m["stopword_ratio"] <= 1.0
+    assert 0.0 <= m["repetition_ratio"] <= 1.0
+    assert m["n_chars"] == len(text)
+    assert m["symbol_word_ratio"] >= 0.0
+
+
+@SETTINGS
+@given(st.lists(words, min_size=1, max_size=40).map(" ".join))
+def test_langid_deterministic(text):
+    m = get_langid_model()
+    assert m.score(text) == m.score(text)
+    lang, conf, ppl = m.score(text)
+    assert lang in m.langs and 0.0 < conf <= 1.0 and ppl > 0.0
