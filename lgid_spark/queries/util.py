@@ -7,6 +7,10 @@ from pyspark.sql import functions as F
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver may hand us a session with a non-UTC timezone; epoch-µs
+    # parity with DuckDB (which treats naive timestamps as-is) requires
+    # the NTZ→timestamp cast to be the identity. Idempotent.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
