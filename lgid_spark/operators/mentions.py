@@ -77,6 +77,21 @@ def _norm_token(tok: str) -> str:
     return _STRIP_PUNCT.sub("", s).lower()
 
 
+_LEAD_PUNCT = re.compile(r"^[^\w'ǂ!/=-]+", re.UNICODE)
+_TRAIL_PUNCT = re.compile(r"[^\w'ǂ!/=-]+$", re.UNICODE)
+
+
+def _core_span(tok: str, start: int) -> tuple[int, int]:
+    """Char span of the token's core (edge punctuation excluded) so
+    mention columns point at the name itself, matching the reference's
+    golden column convention (test/mentions_gold_output.txt)."""
+    lead = _LEAD_PUNCT.match(tok)
+    lo = lead.end() if lead else 0
+    trail = _TRAIL_PUNCT.search(tok, lo)
+    hi = trail.start() if trail else len(tok)
+    return start + lo, start + hi
+
+
 class NameTable:
     """Broadcastable matcher state built from {name: [codes]}.
 
@@ -86,25 +101,33 @@ class NameTable:
     (analyzers.py:102-118, util.py:246-304) without the encoding."""
 
     def __init__(self, table: dict[str, list[str]]):
-        self.by_first: dict[str, list[tuple[tuple[str, ...], str, tuple[str, ...]]]] = {}
-        self.max_words = 1
+        # merge codes across raw names that normalize identically —
+        # "tewa (usa)"/"tewa (indonesia)"/"tewa" all become "tewa" with
+        # the union of their codes (util.py:40-42 semantics)
+        merged: dict[str, set[str]] = {}
         for name, codes in table.items():
             norm = normalize_name(name)
+            if norm:
+                merged.setdefault(norm, set()).update(codes)
+        self.by_first: dict[str, list[tuple[tuple[str, ...], str, tuple[str, ...]]]] = {}
+        self.max_words = 1
+        for norm in sorted(merged):
             toks = tuple(norm.split(" "))
             if not toks or not toks[0]:
                 continue
             self.max_words = max(self.max_words, len(toks))
             self.by_first.setdefault(toks[0], []).append(
-                (toks, norm, tuple(codes)))
+                (toks, norm, tuple(sorted(merged[norm]))))
 
 
 def _line_tokens(line: str) -> list[tuple[str, int, int]]:
-    """(normalized_token, startcol, endcol) per raw token."""
+    """(normalized_token, core_startcol, core_endcol) per raw token."""
     out = []
     for m in _TOKEN_RE.finditer(line):
         nt = _norm_token(m.group())
         if nt:
-            out.append((nt, m.start(), m.end()))
+            lo, hi = _core_span(m.group(), m.start())
+            out.append((nt, lo, hi))
     return out
 
 
@@ -124,32 +147,44 @@ def find_mentions(
         # two-line splice (analyzers.py:82-98): append next line's tokens,
         # healing a trailing dash by merging the boundary tokens
         boundary = len(toks)
+        alt_forms: dict[int, str] = {}
         if idx + 1 < n and lines[idx + 1][0] == lineno + 1:
             nl = lines[idx + 1][0]
             ntoks = [(t, s, e, nl, nl) for t, s, e in _line_tokens(lines[idx + 1][1])]
             if text.rstrip().endswith("-") and toks and ntoks:
                 lt, ls, _le, lsl, _lel = toks[-1]
                 nt, _ns, ne, _nsl, nel = ntoks[0]
-                merged = (lt.rstrip("-") + nt, ls, ne, lsl, nel)
+                # the line-break hyphen may be spurious ("Méren-/glo" →
+                # merenglo) or part of the name ("Wangaaybuwan-/Ngiyambaa"
+                # → wangaaybuwan-ngiyambaa): keep the hyphen as the
+                # primary form and try the dash-stripped one as an alt
+                merged = (lt + nt, ls, ne, lsl, nel)
+                alt_forms[len(toks) - 1] = lt.rstrip("-") + nt
                 toks = toks[:-1] + [merged]
                 boundary = len(toks)  # merged token is line-1-anchored
                 ntoks = ntoks[1:]
             toks = toks + ntoks
 
         found: list[tuple[int, int, str, tuple[str, ...]]] = []
-        i = 0
         for i in range(len(toks)):
             if i >= boundary:
                 break  # matches wholly in line 2 counted there (272-273)
-            cands = table.by_first.get(toks[i][0])
-            if not cands:
-                continue
-            for cand_toks, norm, codes in cands:
-                j = i + len(cand_toks)
-                if j > len(toks):
+            forms = [toks[i][0]]
+            if i in alt_forms:
+                forms.append(alt_forms[i])
+            seen_here: set[str] = set()
+            for form in forms:
+                cands = table.by_first.get(form)
+                if not cands:
                     continue
-                if tuple(t[0] for t in toks[i:j]) == cand_toks:
-                    found.append((i, j, norm, codes))
+                for cand_toks, norm, codes in cands:
+                    j = i + len(cand_toks)
+                    if j > len(toks) or norm in seen_here:
+                        continue
+                    run = (form,) + tuple(t[0] for t in toks[i + 1:j])
+                    if run == cand_toks:
+                        found.append((i, j, norm, codes))
+                        seen_here.add(norm)
 
         if single_longest:
             # keep longest by word count among overlapping matches

@@ -1,0 +1,119 @@
+"""Freki document source (SURVEY §2.1 S1) — parser for the reference's
+page-layout text format, written from scratch against the observable
+format (/root/reference/test/mentions_test.freki:1-3,
+sample/input/10.freki:1-12):
+
+    doc_id=X page=1 block_id=1-6 bbox=... label=btlb 20 47   ← block hdr
+    line=20 tag=O fonts=F4-10.9 bbox=... : text after first colon
+    (blank line separates blocks)
+
+Attribute section = whitespace-separated key=value tokens up to the
+first ':' on the line; a token without '=' is glued onto the previous
+value (values like lang_name=Northern Frisian contain spaces).
+
+Spark shape: whole-file text read → mapInPandas parse (documents are
+independent; parsing parallelizes per file) → the engine's `lines`
+DataFrame consumed by mentions/evidence/classify.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+FREKI_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("page", T.IntegerType()),
+    T.StructField("block_id", T.StringType()),
+    T.StructField("label", T.StringType()),
+    T.StructField("lineno", T.IntegerType()),
+    T.StructField("tag", T.StringType()),
+    T.StructField("span_id", T.StringType()),
+    T.StructField("lang_name", T.StringType()),
+    T.StructField("lang_code", T.StringType()),
+    T.StructField("fonts", T.StringType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def _parse_attrs(section: str) -> dict[str, str]:
+    attrs: dict[str, str] = {}
+    last_key = None
+    for tok in section.split():
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            attrs[k] = v
+            last_key = k
+        elif last_key is not None:
+            attrs[last_key] += " " + tok  # value containing spaces
+    return attrs
+
+
+def parse_freki(content: str) -> list[tuple]:
+    """One Freki file → rows of FREKI_SCHEMA."""
+    rows: list[tuple] = []
+    doc_id = page = block_id = label = None
+    for raw in content.split("\n"):
+        if not raw.strip():
+            continue
+        if raw.startswith("doc_id="):
+            # block header: trailing "START END" linenos have no '='
+            attrs = _parse_attrs(raw)
+            doc_id = attrs.get("doc_id", "").split(" ")[0]
+            block_id = attrs.get("block_id")
+            label = attrs.get("label", "").split(" ")[0]
+            try:
+                page = int(attrs.get("page", "0"))
+            except ValueError:
+                page = 0
+            continue
+        if raw.startswith("line="):
+            head, _, text = raw.partition(":")
+            attrs = _parse_attrs(head)
+            try:
+                lineno = int(attrs.get("line", "0"))
+            except ValueError:
+                continue
+            rows.append((
+                doc_id, page, block_id, label, lineno,
+                attrs.get("tag", "O"),
+                attrs.get("span_id"),
+                attrs.get("lang_name"),
+                attrs.get("lang_code"),
+                attrs.get("fonts"),
+                text,
+            ))
+    return rows
+
+
+def read_freki(spark: SparkSession, path: str) -> DataFrame:
+    """Freki files under `path` → lines DataFrame (distributed parse)."""
+    files = spark.read.text(path, wholetext=True)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for content in pdf["value"]:
+                rows.extend(parse_freki(content))
+            yield pd.DataFrame(rows, columns=FREKI_SCHEMA.fieldNames())
+
+    return files.mapInPandas(run, schema=FREKI_SCHEMA)
+
+
+def read_language_table(path: str) -> dict[str, list[str]]:
+    """`name\\tcode[\\tcode…]` → {name: [codes]} (the shape the mention
+    matcher consumes; normalization happens inside NameTable)."""
+    table: dict[str, list[str]] = {}
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 2 and parts[0]:
+                codes = sorted({c for c in parts[1:] if c})
+                if codes:
+                    table.setdefault(parts[0], [])
+                    table[parts[0]] = sorted(set(table[parts[0]]) | set(codes))
+    return table
