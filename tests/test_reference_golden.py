@@ -48,7 +48,9 @@ def test_freki_parse_shape():
     assert linenos == sorted(linenos)
 
 
-def test_gold_mentions_subset():
+def test_gold_mentions_exact():
+    """EXACT set equality with the reference's golden output — same
+    spans, names, codes, nothing missing, nothing extra (54 rows)."""
     lines = [(r[4], r[10]) for r in parse_freki(open(FREKI, encoding="utf-8").read())]
     table = NameTable(read_language_table(TABLE))
     ours = {
@@ -56,8 +58,6 @@ def test_gold_mentions_subset():
         for m in find_mentions(lines, table)
     }
     gold = set(_gold_rows())
-    missing = gold - ours
-    assert not missing, f"{len(missing)} gold rows missing: {sorted(missing)[:8]}"
-    # case-insensitivity yields extras; sanity-bound them
-    extras = len(ours) - len(gold & ours)
-    assert extras < 40 * len(gold)
+    assert gold - ours == set(), f"missing: {sorted(gold - ours)[:8]}"
+    assert ours - gold == set(), f"extras: {sorted(ours - gold)[:8]}"
+    assert len(gold) == 54
