@@ -187,16 +187,22 @@ def find_mentions(
                         seen_here.add(norm)
 
         if single_longest:
-            # keep longest by word count among overlapping matches
-            # (analyzers.py:174-186); deterministic ties by (start, name)
-            found.sort(key=lambda f: (-(f[1] - f[0]), f[0], f[2]))
-            chosen: list[tuple[int, int, str, tuple[str, ...]]] = []
-            used: set[int] = set()
+            # analyzers.py:174-186: keep only the longest match (by word
+            # count) per ADJACENT word group — matches whose token ranges
+            # touch or overlap chain into one group ("Norwegian Finnish"
+            # is one group; only one survives). Ties are unspecified
+            # upstream (test/README.md:13-18); we pin (start, name).
+            found.sort()
+            groups: list[list[tuple[int, int, str, tuple[str, ...]]]] = []
             for f in found:
-                if any(k in used for k in range(f[0], f[1])):
-                    continue
-                used.update(range(f[0], f[1]))
-                chosen.append(f)
+                if groups and f[0] <= max(g[1] for g in groups[-1]):
+                    groups[-1].append(f)
+                else:
+                    groups.append([f])
+            chosen = []
+            for g in groups:
+                g.sort(key=lambda f: (-(f[1] - f[0]), f[0], f[2]))
+                chosen.append(g[0])
             found = sorted(chosen)
 
         for (i, j, norm, codes) in sorted(found):

@@ -61,3 +61,23 @@ def test_gold_mentions_exact():
     assert gold - ours == set(), f"missing: {sorted(gold - ours)[:8]}"
     assert ours - gold == set(), f"extras: {sorted(ours - gold)[:8]}"
     assert len(gold) == 54
+
+
+def test_gold_single_longest_exact():
+    """single-longest-mention mode also matches its gold file exactly
+    (29 rows; ties unspecified upstream happen to agree with our
+    (start, name) pin on this fixture)."""
+    lines = [(r[4], r[10]) for r in parse_freki(open(FREKI, encoding="utf-8").read())]
+    table = NameTable(read_language_table(TABLE))
+    ours = {
+        (m.startline, m.startcol, m.endline, m.endcol, m.name, m.code)
+        for m in find_mentions(lines, table, single_longest=True)
+    }
+    gold = set()
+    single = os.path.join(REF, "test", "mentions_single_gold_outut.txt")
+    with open(single, encoding="utf-8") as fh:
+        for line in fh:
+            p = line.rstrip("\n").split("\t")
+            if len(p) >= 6:
+                gold.add((int(p[0]), int(p[1]), int(p[2]), int(p[3]), p[4], p[5]))
+    assert ours == gold and len(gold) == 29
