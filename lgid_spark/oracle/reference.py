@@ -81,7 +81,8 @@ _PUNCT_EDGE = re.compile(r"^\W+|\W+$", re.UNICODE)
 
 
 def tokenize(text: str) -> list[str]:
-    return [t for t in _TOKEN_RE.split(text.strip()) if t]
+    # str.split() ≡ unicode-\s+ split with empties dropped, but C-speed
+    return text.split()
 
 
 def norm_word(w: str) -> str:
@@ -193,14 +194,14 @@ def metrics_for(text: str, lang_pred: str) -> dict:
     n_chars = len(text)
     lines = text.split("\n") if text else []
     mean_line_len = (sum(len(ln) for ln in lines) / len(lines)) if lines else 0.0
-    n_sym = sum(1 for c in text if c in _SYMBOLS)
+    n_sym = sum(text.count(c) for c in _SYMBOLS)
     symbol_word_ratio = n_sym / n_words if n_words else 0.0
     stops = set(STOPWORDS.get(lang_pred, ()))
     n_stop = sum(1 for w in words if norm_word(w) in stops)
     stopword_ratio = n_stop / n_words if n_words else 0.0
     if n_words >= 3:
-        trigrams = [tuple(words[k:k + 3]) for k in range(n_words - 2)]
-        repetition_ratio = 1.0 - len(set(trigrams)) / len(trigrams)
+        trigrams = set(zip(words, words[1:], words[2:]))
+        repetition_ratio = 1.0 - len(trigrams) / (n_words - 2)
     else:
         repetition_ratio = 0.0
     return {
@@ -270,8 +271,10 @@ def scrub_text(text: str) -> str:
 
 
 def process_batch(texts, model: "LangIDModel") -> list[dict]:
-    bucket_cache: dict[str, np.ndarray] = {}
-    norm_cache: dict[str, str] = {}
+    # one cache keyed by the RAW word: (normalized form, bucket array)
+    # — a single dict hit per token covers normalization AND hashing
+    word_cache: dict[str, tuple[str, "np.ndarray | None"]] = {}
+    wc_get = word_cache.get
     empty = np.asarray([], dtype=np.int64)
     out = []
     for text in texts:
@@ -279,19 +282,22 @@ def process_batch(texts, model: "LangIDModel") -> list[dict]:
         words = tokenize(text)
         normed = []
         arrs = []
+        napp = normed.append
+        aapp = arrs.append
         for w in words:
-            nw = norm_cache.get(w)
-            if nw is None:
+            hit = wc_get(w)
+            if hit is None:
                 nw = norm_word(w)
-                norm_cache[w] = nw
-            normed.append(nw)
-            if nw:
-                a = bucket_cache.get(nw)
-                if a is None:
-                    a = np.asarray(
-                        [_bucket(g) for g in _grams(nw)], dtype=np.int64)
-                    bucket_cache[nw] = a
-                arrs.append(a)
+                a = (
+                    np.asarray([_bucket(g) for g in _grams(nw)], dtype=np.int64)
+                    if nw else None
+                )
+                hit = (nw, a)
+                word_cache[w] = hit
+            nw, a = hit
+            napp(nw)
+            if a is not None:
+                aapp(a)
         b = np.concatenate(arrs) if arrs else empty
         lang_pred, conf, ppl = model._score_buckets(b)
 
@@ -300,14 +306,14 @@ def process_batch(texts, model: "LangIDModel") -> list[dict]:
         lines = text.split("\n") if text else []
         mean_line_len = (
             sum(len(ln) for ln in lines) / len(lines)) if lines else 0.0
-        n_sym = sum(1 for c in text if c in _SYMBOLS)
+        n_sym = sum(text.count(c) for c in _SYMBOLS)
         symbol_word_ratio = n_sym / n_words if n_words else 0.0
         stops = set(STOPWORDS.get(lang_pred, ()))
         n_stop = sum(1 for nw in normed if nw in stops)
         stopword_ratio = n_stop / n_words if n_words else 0.0
         if n_words >= 3:
-            trigrams = [tuple(words[k:k + 3]) for k in range(n_words - 2)]
-            repetition_ratio = 1.0 - len(set(trigrams)) / len(trigrams)
+            trigrams = set(zip(words, words[1:], words[2:]))
+            repetition_ratio = 1.0 - len(trigrams) / (n_words - 2)
         else:
             repetition_ratio = 0.0
         out.append({
