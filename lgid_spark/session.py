@@ -22,7 +22,7 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas UDF / toPandas crossing.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
     # Every dimension table in this engine (lang table, stopword lists,
     # LM tables at the per-language grain) is << 64 MB: broadcast them all.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
