@@ -33,6 +33,11 @@ HEADLINE = [
     "token_stats",
     "knn_bruteforce",
     "ivf_assign",
+    "salted_host_agg",
+    "rollup_pricing",
+    "lm_char_trigrams",
+    "value_percentiles",
+    "emb_near_dup_pairs",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "60000"))

@@ -188,22 +188,22 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # rename columns on independently-read sides: a self-join through
     # alias() breaks attribute binding inside higher-order functions
-    # (Spark 4 INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
+    # (Spark 4 INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND). Norms are computed
+    # ONCE per vector before the join — 3x less fold work per pair.
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("label").alias("label"),
-        F.col("embedding").alias("emb_a"))
+        F.col("embedding").alias("emb_a"),
+    ).withColumn("norm_a", F.sqrt(dot(F.col("emb_a"), F.col("emb_a"))))
     b = t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
-        F.col("embedding").alias("emb_b"))
+        F.col("embedding").alias("emb_b"),
+    ).withColumn("norm_b", F.sqrt(dot(F.col("emb_b"), F.col("emb_b"))))
     pairs = a.join(
         b,
         (F.col("label") == F.col("label_b"))  # block on label (IVF-ish)
         & (F.col("vec_a") < F.col("vec_b")),
     )
-    cos = dot(F.col("emb_a"), F.col("emb_b")) / (
-        F.sqrt(dot(F.col("emb_a"), F.col("emb_a")))
-        * F.sqrt(dot(F.col("emb_b"), F.col("emb_b")))
-    )
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
     return (
         pairs.withColumn("cos_sim", F.round(cos, 6))
         .where(F.col("cos_sim") >= _COS_MIN)
@@ -212,11 +212,16 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL["emb_near_dup_pairs"] = f"""
+WITH n AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_sum(list_transform(generate_series(1, 64),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-       ROUND({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cos_sim
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE ROUND({_DOT} / ({_NORM_A} * {_NORM_B}), 6) >= {_COS_MIN}
+       ROUND({_DOT} / (a.nrm * b.nrm), 6) AS cos_sim
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND({_DOT} / (a.nrm * b.nrm), 6) >= {_COS_MIN}
 """
 
 
