@@ -123,6 +123,39 @@ def closest_mentions(mentions: DataFrame, spans: DataFrame) -> DataFrame:
     )
 
 
+ADAPTIVE_WINDOW = 500
+ADAPTIVE_MIN_LANGS = 20
+ADAPTIVE_MIN_LINES = 2000
+
+
+def adaptive_window_features(
+    mentions: DataFrame,
+    spans: DataFrame,
+    lines: DataFrame,
+    window: int = ADAPTIVE_WINDOW,
+    min_langs: int = ADAPTIVE_MIN_LANGS,
+    min_lines: int = ADAPTIVE_MIN_LINES,
+) -> DataFrame:
+    """W7 (features.py:101-112): documents with many candidate languages
+    or many lines get an extra wide-window feature (±`window` lines
+    around the span). Only qualifying docs produce rows — the flag is
+    conditional on per-doc stats, not a config constant."""
+    doc_stats = (
+        mentions.groupBy("doc_id")
+        .agg(F.countDistinct("name").alias("n_langs"))
+        .join(
+            lines.groupBy("doc_id").agg(F.max("lineno").alias("n_lines")),
+            "doc_id",
+        )
+        .where(
+            (F.col("n_langs") > min_langs) | (F.col("n_lines") > min_lines))
+        .select("doc_id")
+    )
+    m = mentions.join(F.broadcast(doc_stats), "doc_id")
+    top, bottom = F.col("span_top"), F.col("span_bottom")
+    return _window_flag(m, spans, top - window, bottom + window, "w_adaptive")
+
+
 def in_line_mentions(mentions: DataFrame, lines: DataFrame, tag: str) -> DataFrame:
     """W3: mentions landing exactly on a span line with the given tag
     (l/g/t/m_features, features.py:115-193)."""

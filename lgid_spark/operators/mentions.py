@@ -20,11 +20,11 @@ Semantics covered (cited to the reference for parity checking):
     (analyzers.py:174-186, test/README.md:13-18) — we pin ties to
     (startcol, name) order for determinism.
 
-Deliberate divergence: matching is case-insensitive on normalized
-tokens (capitalization='any') instead of the reference's
-title/upper/lower line transforms (analyzers.py:68-72) — strictly more
-recall, same candidates on well-cased text; the golden tests pin OUR
-semantics via the pure-Python oracle shared with the Spark UDF.
+Capitalization (P6, analyzers.py:68-72): capitalization='any' (default)
+matches case-insensitively; capitalization='title' requires every
+matched word's surface to start uppercase (the reference's default
+transform). Both reference golden files reproduce exactly under 'any'
+on the bundled fixture.
 
 Spark shape: lines → lead(text) window (cross-line pairs stay narrow)
 → mapInPandas matcher (broadcast name table) → explode to a mentions
@@ -120,14 +120,22 @@ class NameTable:
                 (toks, norm, tuple(sorted(merged[norm]))))
 
 
-def _line_tokens(line: str) -> list[tuple[str, int, int]]:
-    """(normalized_token, core_startcol, core_endcol) per raw token."""
+def _is_title(raw: str) -> bool:
+    for c in raw:
+        if c.isalpha():
+            return c.isupper()
+    return False
+
+
+def _line_tokens(line: str) -> list[tuple[str, int, int, bool]]:
+    """(normalized_token, core_startcol, core_endcol, is_title) per raw
+    token; is_title = first alphabetic char is uppercase (P6)."""
     out = []
     for m in _TOKEN_RE.finditer(line):
         nt = _norm_token(m.group())
         if nt:
             lo, hi = _core_span(m.group(), m.start())
-            out.append((nt, lo, hi))
+            out.append((nt, lo, hi, _is_title(m.group())))
     return out
 
 
@@ -135,6 +143,7 @@ def find_mentions(
     lines: list[tuple[int, str]],
     table: NameTable,
     single_longest: bool = False,
+    capitalization: str = "any",
 ) -> list[Mention]:
     """Pure-function mention extraction over (lineno, text) lines.
     Shared verbatim by the oracle and the Spark UDF."""
@@ -142,23 +151,25 @@ def find_mentions(
     n = len(lines)
     for idx in range(n):
         lineno, text = lines[idx]
-        # token = (norm, startcol, endcol, startline, endline)
-        toks = [(t, s, e, lineno, lineno) for t, s, e in _line_tokens(text)]
+        # token = (norm, startcol, endcol, startline, endline, is_title)
+        toks = [(t, s, e, lineno, lineno, ti)
+                for t, s, e, ti in _line_tokens(text)]
         # two-line splice (analyzers.py:82-98): append next line's tokens,
         # healing a trailing dash by merging the boundary tokens
         boundary = len(toks)
         alt_forms: dict[int, str] = {}
         if idx + 1 < n and lines[idx + 1][0] == lineno + 1:
             nl = lines[idx + 1][0]
-            ntoks = [(t, s, e, nl, nl) for t, s, e in _line_tokens(lines[idx + 1][1])]
+            ntoks = [(t, s, e, nl, nl, ti)
+                     for t, s, e, ti in _line_tokens(lines[idx + 1][1])]
             if text.rstrip().endswith("-") and toks and ntoks:
-                lt, ls, _le, lsl, _lel = toks[-1]
-                nt, _ns, ne, _nsl, nel = ntoks[0]
+                lt, ls, _le, lsl, _lel, lti = toks[-1]
+                nt, _ns, ne, _nsl, nel, _nti = ntoks[0]
                 # the line-break hyphen may be spurious ("Méren-/glo" →
                 # merenglo) or part of the name ("Wangaaybuwan-/Ngiyambaa"
                 # → wangaaybuwan-ngiyambaa): keep the hyphen as the
                 # primary form and try the dash-stripped one as an alt
-                merged = (lt + nt, ls, ne, lsl, nel)
+                merged = (lt + nt, ls, ne, lsl, nel, lti)
                 alt_forms[len(toks) - 1] = lt.rstrip("-") + nt
                 toks = toks[:-1] + [merged]
                 boundary = len(toks)  # merged token is line-1-anchored
@@ -182,9 +193,13 @@ def find_mentions(
                     if j > len(toks) or norm in seen_here:
                         continue
                     run = (form,) + tuple(t[0] for t in toks[i + 1:j])
-                    if run == cand_toks:
-                        found.append((i, j, norm, codes))
-                        seen_here.add(norm)
+                    if run != cand_toks:
+                        continue
+                    if capitalization == "title" and not all(
+                            toks[k][5] for k in range(i, j)):
+                        continue  # P6: every word must be title-cased
+                    found.append((i, j, norm, codes))
+                    seen_here.add(norm)
 
         if single_longest:
             # analyzers.py:174-186: keep only the longest match (by word
@@ -239,6 +254,7 @@ def extract_mentions(
     lines_df: DataFrame,
     lang_table: dict[str, list[str]],
     single_longest: bool = False,
+    capitalization: str = "any",
 ) -> DataFrame:
     """lines(doc_id, lineno, text) → mentions DataFrame.
 
@@ -267,7 +283,7 @@ def extract_mentions(
                 lines = [(int(r.lineno), r.text or "")]
                 if r.next_lineno is not None and not pd.isna(r.next_lineno):
                     lines.append((int(r.next_lineno), r.next_text or ""))
-                for m in find_mentions(lines, t, single_longest):
+                for m in find_mentions(lines, t, single_longest, capitalization):
                     if m.startline != int(r.lineno):
                         continue  # emitted by the row anchored there
                     rows.append((r.doc_id, *m))

@@ -99,3 +99,21 @@ def test_in_line_mentions(spark, dfs):
         for r in in_line_mentions(mentions, lines, "L").collect()
     }
     assert got == {("beta", "bb"): 1}
+
+
+def test_adaptive_window_features(spark, dfs):
+    from lgid_spark.operators.evidence import adaptive_window_features
+
+    lines, mentions = dfs
+    spans = span_bounds(lines)
+    # thresholds high → no doc qualifies → empty
+    assert adaptive_window_features(mentions, spans, lines).count() == 0
+    # lower thresholds: doc 'd' has 4 distinct names and 60 lines
+    got = {
+        (r.name, r.code)
+        for r in adaptive_window_features(
+            mentions, spans, lines, window=500,
+            min_langs=3, min_lines=50).collect()
+    }
+    # every mention (incl. line 58, outside normal windows) is in ±500
+    assert ("delta", "dd") in got and ("alpha", "aa") in got

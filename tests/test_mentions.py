@@ -101,3 +101,19 @@ def test_spark_matches_oracle(spark, single_longest):
     want = mentions_oracle(doc_lines(), LANG_TABLE, single_longest)
     assert got == [tuple(w) for w in want]
     assert len(got) > 10
+
+
+def test_title_case_mode():
+    # P6: capitalization='title' only matches title-cased surfaces
+    ms_any = find_mentions([(1, "Valdese valdese VALDESE")], TABLE)
+    ms_title = find_mentions(
+        [(1, "Valdese valdese VALDESE")], TABLE, capitalization="title")
+    assert len(ms_any) == 3
+    # 'Valdese' and 'VALDESE' have an uppercase first letter; 'valdese' not
+    assert len(ms_title) == 2
+    multi = find_mentions(
+        [(1, "Upper North Tokri vs upper north tokri")],
+        TABLE, capitalization="title")
+    assert sorted({m.name for m in multi}) == [
+        "north tokri", "tokri", "upper north tokri"]
+    assert len([m for m in multi if m.name == "tokri"]) == 7  # only cap'd

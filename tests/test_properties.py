@@ -40,7 +40,7 @@ def test_mentions_single_word_count_matches_token_scan(lines):
 
     expected = 0
     for _ln, text in numbered:
-        for tok, _s, _e in _line_tokens(text):
+        for tok, _s, _e, _t in _line_tokens(text):
             for name in single_names:
                 if tok == normalize_name(name):
                     expected += len(LANG_TABLE[name])
