@@ -269,3 +269,105 @@ SELECT COUNT(DISTINCT user_id) AS n_users,
        COUNT(DISTINCT (user_id, event_type)) AS n_user_type_pairs
 FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# q5_nation_volume — TPC-H Q5 shape: 6-way join (3 broadcast dims),
+# revenue per nation where customer and supplier share the nation.
+# ---------------------------------------------------------------------------
+
+@_q("q5_nation_volume")
+def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
+ORACLE_SQL["q5_nation_volume"] = """
+SELECT n_name AS nation, r_name AS region,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name, r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_json_stats — JSON extraction (props is a JSON string).
+# ---------------------------------------------------------------------------
+
+@_q("events_json_stats")
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_SQL["events_json_stats"] = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# orders_by_month — temporal functions: year/month buckets + decimal sums.
+# ---------------------------------------------------------------------------
+
+@_q("orders_by_month")
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double")
+            .alias("total"),
+        )
+    )
+
+
+ORACLE_SQL["orders_by_month"] = """
+SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+FROM orders GROUP BY yr, mo
+"""
