@@ -1,0 +1,114 @@
+"""Crúbadán-style LM source (SURVEY §2.1 S4; reference at
+/root/reference/lgid/util.py:114-173 `read_crubadan_language_model`).
+
+The reference resolves per-language n-gram files through a directory
+index CSV (`crubadan_directory_index.csv`, util.py:133-143) mapping
+(name, code) → data directory, then reads `-chartrigrams.txt`,
+`-words.txt`, `-wordbigrams.txt` files of `ngram<tab>count` rows.
+
+Re-expressed: the index is a broadcast dimension; the per-language
+files become one partitioned table via a distributed parse — after
+which everything downstream (broadcast set membership, match ratios)
+is the same machinery as the ODIN LM (operators/lm.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+GRAM_FILES = {
+    "char": "-chartrigrams.txt",
+    "word": "-words.txt",
+    "wordbigram": "-wordbigrams.txt",
+}
+
+LM_SCHEMA = T.StructType([
+    T.StructField("lang_code", T.StringType()),
+    T.StructField("gram_type", T.StringType()),
+    T.StructField("ngram", T.StringType()),
+    T.StructField("count", T.LongType()),
+])
+
+
+def read_dir_index(spark: SparkSession, path: str) -> DataFrame:
+    """Directory-index CSV (name, code, directory) → broadcast dim."""
+    return (
+        spark.read.option("header", "true").csv(path)
+        .select("name", "code", "directory")
+    )
+
+
+def read_crubadan_lm(
+    spark: SparkSession,
+    index: DataFrame,
+    base_dir: str,
+    codes: list[str] | None = None,
+) -> DataFrame:
+    """Resolve each (code → directory) through the index and parse its
+    n-gram files into the lm_ngrams shape. The per-doc language pruning
+    of the reference (main.py:567-576) is the `codes` filter — only the
+    requested languages' files are listed and read."""
+    rows = index.select("code", "directory").distinct()
+    if codes is not None:
+        rows = rows.where(F.col("code").isin(codes))
+    # the index is tiny: resolve file paths driver-side, parse distributed
+    tasks = [
+        (r["code"], gram_type, os.path.join(base_dir, r["directory"], r["directory"] + suffix))
+        for r in rows.collect()
+        for gram_type, suffix in GRAM_FILES.items()
+    ]
+    task_df = spark.createDataFrame(tasks, "lang_code string, gram_type string, path string")
+
+    def parse(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if not os.path.exists(r.path):
+                    continue  # missing gram file ⇒ skip (util.py:149-153)
+                with open(r.path, encoding="utf-8") as fh:
+                    for line in fh:
+                        parts = line.rstrip("\n").split("\t")
+                        if len(parts) == 2 and parts[0]:
+                            try:
+                                out.append((r.lang_code, r.gram_type,
+                                            parts[0], int(parts[1])))
+                            except ValueError:
+                                continue
+            yield pd.DataFrame(out, columns=LM_SCHEMA.fieldNames())
+
+    return task_df.repartition(max(1, len(tasks))).mapInPandas(
+        parse, schema=LM_SCHEMA)
+
+
+def write_synthetic_crubadan(base_dir: str, langs: dict[str, list[str]]) -> str:
+    """Test fixture: synthesize a dir-index + per-language gram files
+    from word lists; returns the index CSV path."""
+    os.makedirs(base_dir, exist_ok=True)
+    index_path = os.path.join(base_dir, "crubadan_directory_index.csv")
+    with open(index_path, "w", encoding="utf-8") as idx:
+        idx.write("name,code,directory\n")
+        for code, words in sorted(langs.items()):
+            d = f"{code}_dir"
+            idx.write(f"{code}-name,{code},{d}\n")
+            os.makedirs(os.path.join(base_dir, d), exist_ok=True)
+            with open(os.path.join(base_dir, d, d + "-words.txt"), "w",
+                      encoding="utf-8") as fh:
+                for k, w in enumerate(words):
+                    fh.write(f"{w}\t{len(words) - k}\n")
+            with open(os.path.join(base_dir, d, d + "-chartrigrams.txt"),
+                      "w", encoding="utf-8") as fh:
+                grams: dict[str, int] = {}
+                for w in words:
+                    p = f" {w} "
+                    for i in range(len(p) - 2):
+                        grams[p[i:i + 3]] = grams.get(p[i:i + 3], 0) + 1
+                for g, c in sorted(grams.items()):
+                    fh.write(f"{g}\t{c}\n")
+    return index_path
