@@ -1,0 +1,94 @@
+"""spark-submit entrypoint for the classify lifecycle (the reference's
+`lgid classify` command, main.py §3.1).
+
+Usage:
+    spark-submit --py-files dist/lgid_spark.zip \\
+        lgid_spark/jobs/run_classify.py \\
+        --input  '/path/*.freki'        Freki files (or demo: for a
+                                        built-in crafted corpus)
+        --lang-table /path/lang_table.txt
+        --output /path/labelled
+        [--model /path/model]           load instead of train
+        [--save-model /path/model]
+
+Trains on the input's gold labels when no --model is given (the
+reference's train-then-classify smoke), writes labelled lines
+partitioned by doc bucket, prints one JSON summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--lang-table", default=None)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--model", default=None)
+    ap.add_argument("--save-model", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("lgid_classify").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    from lgid_spark.classify import classify_documents, write_labelled_lines
+
+    if args.input == "demo:":
+        from lgid_spark.fixtures import LANG_TABLE as table
+
+        langs = [("quenya", "qya"), ("valdese", "vld"), ("molvani", "mv1")]
+        rows = []
+        for d in range(12):
+            doc, (name, code) = f"doc{d}", langs[d % 3]
+            rows += [
+                (doc, 1, "O", None, None, None, f"notes on the {name} language"),
+                (doc, 2, "L", "s1", name, code, "ex am ple li ne"),
+                (doc, 3, "G", "s1", None, None, "gloss line"),
+            ]
+        lines = spark.createDataFrame(
+            rows,
+            "doc_id string, lineno int, tag string, span_id string, "
+            "lang_name string, lang_code string, text string",
+        )
+    else:
+        from lgid_spark.sources.freki import read_freki, read_language_table
+
+        if not args.lang_table:
+            raise SystemExit("--lang-table is required for freki input")
+        table = read_language_table(args.lang_table)
+        lines = read_freki(spark, args.input)
+
+    model = None
+    if args.model:
+        from pyspark.ml.classification import LogisticRegressionModel
+
+        model = LogisticRegressionModel.load(args.model)
+
+    best = classify_documents(spark, lines, table, model=model)
+    best.persist()
+    n_spans = best.count()
+    n_right = best.where("label").count()
+    write_labelled_lines(lines, best, args.output)
+    if args.save_model and model is None:
+        from lgid_spark.classify import build_instances
+        from lgid_spark.operators.classifier import train
+
+        train(build_instances(spark, lines, table)).write().overwrite().save(
+            args.save_model)
+    best.unpersist()
+    print(json.dumps({
+        "n_spans": n_spans,
+        "n_correct_vs_gold": n_right,
+        "output": args.output,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
