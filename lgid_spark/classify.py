@@ -4,16 +4,19 @@ find_best_and_normalize → write_to_files), assembled from this engine's
 operators as one lazy DataFrame DAG:
 
   lines ──▶ extract_mentions (broadcast table, mapInPandas)
-        ──▶ span_bounds / window_features / frequent / closest /
-            in_line (range joins + window aggs, all broadcast-side)
-        ──▶ instances (doc, span, candidate, label, feats map)
+        ──▶ evidence features (range joins + window aggs, broadcast-side)
+        ──▶ instances: one row per (L-line × doc-wide candidate pair),
+            exactly the reference grain (main.py:588-633: candidates are
+            ALL (name, code) pairs mentioned anywhere in the doc, and
+            one StringInstance is yielded per L-line per pair)
         ──▶ HashingTF + LogisticRegression score
-        ──▶ per-group min-max argmax → prediction per span
+        ──▶ per-group min-max argmax → prediction per L-line
         ──▶ labelled lines (S8 sink shape)
 
-Feature names mirror the reference's string-keyed boolean feature dicts
-(features.py gl_features / w_features / l_features families).
-"""
+Feature keys are the reference's exact feature-name strings
+(features.py gl/w/l/g/t/m families + add_nums crosses + LM threshold
+flags), so a feature dump is directly comparable with the reference's
+.vector files (main.py print_feature_vector)."""
 
 from __future__ import annotations
 
@@ -22,76 +25,234 @@ from pyspark.sql import functions as F
 
 from .operators.classifier import best_candidates, score, train
 from .operators.evidence import (
+    adaptive_window_features,
     closest_mentions,
+    doc_bounds,
+    doc_edge_mentions,
+    doc_frequent_mentions,
     frequent_mentions,
     in_line_mentions,
+    in_line_mentions_by_line,
     span_bounds,
     window_features,
 )
+from .operators.lm import lm_line_match_ratios
 from .operators.mentions import extract_mentions, normalize_name
 
-FLAG_FEATS = ["w_prev", "w_close", "w_after", "w_close_after", "in_span"]
+# res/english_word_language_names.txt — language names that are common
+# English words (features.py:372-382 flag_common_words; SURVEY J6).
+ENGLISH_WORD_LANG_NAMES = [
+    "so", "she", "even", "thompson", "maria", "male", "doe", "chin",
+    "dan", "karen", "day", "gun", "crow", "nora", "sabine", "kim",
+    "median",
+]
+
+SHORT_NAME_SIZE = 3  # config.ini:37
+LANGS_LT = [5, 10, 15, 20, 40]  # add_nums, features.py:211-214
+LM_THRESHOLDS = [round(0.1 * k, 2) for k in range(1, 11)]  # features.py:349-354
+ODIN_FAMILIES = ["L-LMw", "L-LMc", "L-LMm"]
+CRUBADAN_FAMILIES = ["L-CR-LMw", "L-CR-LMc"]
+_RATIO_ALIAS = {
+    "L-LMw": "lmw_ratio", "L-LMc": "lmc_ratio", "L-LMm": "lmm_ratio",
+    "L-CR-LMw": "cr_lmw_ratio", "L-CR-LMc": "cr_lmc_ratio",
+}
+
+_DS = ["doc_id", "span_id", "name", "code"]
+_DN = ["doc_id", "name", "code"]
+_DSL = ["doc_id", "span_id", "lineno", "name", "code"]
+
+
+def _flag(df: DataFrame, keys: list[str], col: str) -> DataFrame:
+    return df.select(*keys, F.lit(True).alias(col))
+
+
+def _pivot_ratios(ratios: DataFrame, families: list[str]) -> DataFrame:
+    piv = (
+        ratios.groupBy("doc_id", "span_id", "lineno", "code")
+        .pivot("family", families)
+        .agg(F.first("ratio"))
+    )
+    return piv.select(
+        "doc_id", "span_id", "lineno", "code",
+        *[F.col(f"`{fam}`").alias(_RATIO_ALIAS[fam]) for fam in families],
+    )
 
 
 def build_instances(
     spark: SparkSession,
     lines: DataFrame,
     lang_table: dict[str, list[str]],
+    odin_lm: DataFrame | None = None,
+    crubadan_lm: DataFrame | None = None,
+    common_table: dict[str, list[str]] | None = None,
+    eng_words: list[str] | None = None,
 ) -> DataFrame:
     """lines(doc_id, lineno, tag, span_id, lang_name, lang_code, text)
-    → instances (FIXTURES.md §7 schema). Candidates = every (name, code)
-    with any window evidence for the span (the reference's candidate set,
-    main.py:592-616)."""
+    → instances (FIXTURES.md §7 schema, grain = L-line × candidate).
+
+    Candidate set: every (name, code) mentioned anywhere in the doc
+    (main.py:568 features_template), NOT just window-evidenced pairs.
+    Optional LM tables (lang_code, gram_type, ngram) enable the
+    L-LM*/L-CR-LM* cumulative threshold flags (features.py:300-354);
+    `common_table` enables GL-most-frequent-code (features.py:357-369).
+    """
+    if eng_words is None:
+        eng_words = ENGLISH_WORD_LANG_NAMES
     mentions = extract_mentions(
-        spark, lines.select("doc_id", "lineno", "text"), lang_table)
+        spark, lines.select("doc_id", "lineno", "text"), lang_table
+    ).persist()  # feeds ~14 feature branches; tiny vs lines
     spans = span_bounds(lines)
+    bounds = doc_bounds(lines)
+    cands = mentions.select(*_DN).distinct()
+    num_langs = mentions.groupBy("doc_id").agg(
+        F.countDistinct("name").alias("num_langs"))  # main.py:570 lang_names
+
+    l_lines = lines.filter(
+        F.col("span_id").isNotNull() & F.col("tag").contains("L")
+    ).select(
+        "doc_id", "span_id", "lineno",
+        F.col("lang_name").alias("gold_name"),
+        F.col("lang_code").alias("gold_code"),
+        "text",
+    )
+
+    # --- span-level feature frames (key: doc, span, name, code) ---
     wf = window_features(mentions, spans)
-    freq = frequent_mentions(mentions, spans).select(
-        "doc_id", "span_id", "name", "code", "n_mentions", "frequent")
-    close = closest_mentions(mentions, spans).select(
-        "doc_id", "span_id", "name", "code").distinct().withColumn(
-        "closest", F.lit(True))
-    onl = in_line_mentions(mentions, lines, "L").withColumn(
-        "on_l_line", F.col("n_on_l_lines") > 0).drop("n_on_l_lines")
+    fq_b = _flag(frequent_mentions(mentions, spans).where("frequent"),
+                 _DS, "w_frequent")
+    fq_a = _flag(frequent_mentions(mentions, spans, after=True)
+                 .where("frequent"), _DS, "w_frequent_after")
+    cl_b = _flag(closest_mentions(mentions, spans).select(*_DS).distinct(),
+                 _DS, "w_closest")
+    cl_a = _flag(closest_mentions(mentions, spans, after=True)
+                 .select(*_DS).distinct(), _DS, "w_closest_after")
+    ad_b = adaptive_window_features(mentions, spans, lines).select(
+        *_DS, F.col("by_langs").alias("w500_langs"),
+        F.col("by_lines").alias("w500_lines"))
+    ad_a = adaptive_window_features(mentions, spans, lines, after=True).select(
+        *_DS, F.col("by_langs").alias("w500_langs_after"),
+        F.col("by_lines").alias("w500_lines_after"))
+    gin = _flag(in_line_mentions(mentions, lines, "G"), _DS, "g_in_line")
+    tin = _flag(in_line_mentions(mentions, lines, "T"), _DS, "t_in_line")
+    min_ = _flag(in_line_mentions(mentions, lines, "M"), _DS, "m_in_line")
 
-    keys = ["doc_id", "span_id", "name", "code"]
-    cand = (
-        wf.join(freq, keys, "left")
-        .join(close, keys, "left")
-        .join(onl, keys, "left")
-    )
-    feat_cols = FLAG_FEATS + ["frequent", "closest", "on_l_line"]
+    # --- doc-level feature frames (key: doc, name, code) ---
+    gl_first = _flag(doc_edge_mentions(mentions, bounds), _DN, "gl_first_lines")
+    gl_last = _flag(doc_edge_mentions(mentions, bounds, last=True),
+                    _DN, "gl_last_lines")
+    gl_freq = _flag(doc_frequent_mentions(mentions, bounds).where("frequent"),
+                    _DN, "gl_frequent")
+    gl_most = _flag(
+        doc_frequent_mentions(mentions, bounds, thresh=None).where("frequent"),
+        _DN, "gl_most_frequent")
+
+    # --- line-level feature frames (key: doc, span, lineno, name, code) ---
+    lin = _flag(in_line_mentions_by_line(mentions, lines, "L"),
+                _DSL, "l_in_line")
+
+    inst = l_lines.join(cands, "doc_id")
+    for f in (wf, fq_b, fq_a, cl_b, cl_a, ad_b, ad_a, gin, tin, min_):
+        inst = inst.join(f, _DS, "left")
+    for f in (gl_first, gl_last, gl_freq, gl_most):
+        inst = inst.join(f, _DN, "left")
+    inst = inst.join(lin, _DSL, "left").join(num_langs, "doc_id", "left")
+
+    cand_codes = mentions.select("doc_id", "code").distinct()
+    ratio_cols: list[str] = []
+    if odin_lm is not None:
+        piv = _pivot_ratios(
+            lm_line_match_ratios(l_lines, cand_codes, odin_lm, ODIN_FAMILIES),
+            ODIN_FAMILIES)
+        inst = inst.join(piv, ["doc_id", "span_id", "lineno", "code"], "left")
+        ratio_cols += ODIN_FAMILIES
+    if crubadan_lm is not None:
+        piv = _pivot_ratios(
+            lm_line_match_ratios(
+                l_lines, cand_codes, crubadan_lm, CRUBADAN_FAMILIES),
+            CRUBADAN_FAMILIES)
+        inst = inst.join(piv, ["doc_id", "span_id", "lineno", "code"], "left")
+        ratio_cols += CRUBADAN_FAMILIES
+
+    if common_table:
+        pairs = sorted(
+            {(n, c) for n, cs in common_table.items() for c in cs})
+        common_df = spark.createDataFrame(pairs, ["name", "code"])
+        inst = inst.join(
+            F.broadcast(_flag(common_df, ["name", "code"], "gl_common_code")),
+            ["name", "code"], "left")
+    else:
+        inst = inst.withColumn("gl_common_code", F.lit(False))
+
+    # --- assemble the feature map with reference-exact key strings ---
+    b = lambda c: F.coalesce(F.col(c), F.lit(False))  # noqa: E731
+    name, code = F.col("name"), F.col("code")
+    feats: list[tuple[str, F.Column]] = [
+        ("W-prev", b("w_prev")),
+        ("W-close", b("w_close")),
+        ("W-after", b("w_after")),
+        ("W-close-after", b("w_close_after")),
+        ("W-frequent", b("w_frequent")),
+        ("W-frequent-after", b("w_frequent_after")),
+        ("W-closest", b("w_closest")),
+        ("W-closest-after", b("w_closest_after")),
+        ("W=500&langs>20-frequent", b("w500_langs")),
+        ("W=500&langs>20-frequent-after", b("w500_langs_after")),
+        ("W=500&lines>2000-frequent", b("w500_lines")),
+        ("W=500&lines>2000-frequent-after", b("w500_lines_after")),
+        ("L-in-line", b("l_in_line")),
+        ("G-in-line", b("g_in_line")),
+        ("T-in-line", b("t_in_line")),
+        ("M-in-line", b("m_in_line")),
+    ]
+    gl_base = [
+        ("GL-first-lines", b("gl_first_lines")),
+        ("GL-last-lines", b("gl_last_lines")),
+        ("GL-frequent", b("gl_frequent")),
+        ("GL-most-frequent", b("gl_most_frequent")),
+    ]
+    feats += gl_base
+    nl = F.coalesce(F.col("num_langs"), F.lit(0))
+    for fname, expr in gl_base:  # add_nums crosses, features.py:211-214
+        for i in LANGS_LT:
+            feats.append((f"{fname}&langs<{i}", expr & (nl < i)))
+    feats += [
+        ("GL-most-frequent-code", b("gl_common_code")),
+        ("GL-is-english", (name == "english") & (code == "eng")),
+        ("GL-possible-english-word", name.isin(eng_words)),
+        ("GL-short-lang-name", F.length(name) <= SHORT_NAME_SIZE),
+        ("GL-multi-word-name", F.size(F.split(name, " ")) > 1),
+    ]
+    # reference quirk kept verbatim: flag named '<i' but condition '<= i'
+    # (features.py:385-387)
+    for i in range(1, 10):
+        feats.append((f"GL-C-name<{i}", F.length(name) <= i))
+    for fam in ratio_cols:  # cumulative LM flags, features.py:349-354
+        r = F.col(_RATIO_ALIAS[fam])
+        for thr in LM_THRESHOLDS:
+            feats.append(
+                (f"{fam}>{thr}", F.coalesce(r >= thr, F.lit(False))))
+
     feats_map = F.map_from_arrays(
-        F.array(*[F.lit(c) for c in feat_cols]),
-        F.array(*[F.coalesce(F.col(c), F.lit(False)) for c in feat_cols]),
+        F.array(*[F.lit(k) for k, _ in feats]),
+        F.array(*[v for _, v in feats]),
     )
 
-    gold = (
-        lines.filter(
-            F.col("span_id").isNotNull() & F.col("lang_name").isNotNull())
-        .groupBy("doc_id", "span_id")
-        .agg(
-            F.min("lineno").alias("lineno"),
-            F.first("lang_name", ignorenulls=True).alias("gold_name"),
-            F.first("lang_code", ignorenulls=True).alias("gold_code"),
-        )
-    )
     @F.pandas_udf("string")
     def norm_gold(s):  # Arrow-batched (no per-row Python UDFs)
         return s.fillna("").map(normalize_name)
 
-    inst = cand.join(gold, ["doc_id", "span_id"], "left").select(
-        "doc_id", "span_id",
-        F.coalesce("lineno", F.lit(0)).alias("lineno"),
-        F.col("name").alias("lang_name"),
-        F.col("code").alias("lang_code"),
-        (
-            (F.col("name") == norm_gold(F.col("gold_name")))
-            & (F.col("code") == F.col("gold_code"))
+    out = inst.select(
+        "doc_id", "span_id", "lineno",
+        name.alias("lang_name"),
+        code.alias("lang_code"),
+        F.coalesce(
+            (name == norm_gold(F.col("gold_name")))
+            & (code == F.col("gold_code")),
+            F.lit(False),
         ).alias("label"),
         feats_map.alias("feats"),
     )
-    return inst.withColumn("label", F.coalesce("label", F.lit(False)))
+    return out
 
 
 def classify_documents(
@@ -99,19 +260,25 @@ def classify_documents(
     lines: DataFrame,
     lang_table: dict[str, list[str]],
     model=None,
-) -> DataFrame:
-    """Full classify: returns one row per (doc_id, span_id) with the
-    winning candidate. If no model is given, trains on these instances
-    (the reference's train-then-classify smoke, README.md:91-101)."""
-    inst = build_instances(spark, lines, lang_table).persist()
+    return_model: bool = False,
+    **feature_kwargs,
+):
+    """Full classify: returns one row per (doc_id, span_id, L-lineno)
+    with the winning candidate (the reference's per-instance-group argmax,
+    main.py:301-323). If no model is given, trains on these instances
+    (the reference's train-then-classify smoke, README.md:91-101).
+    `return_model=True` additionally returns the trained/used model so
+    callers can save it without retraining (jobs/run_classify.py)."""
+    inst = build_instances(spark, lines, lang_table, **feature_kwargs).persist()
     try:
         mdl = model if model is not None else train(inst)
         best = best_candidates(score(inst, mdl))
-        return best.select(
+        out = best.select(
             "doc_id", "span_id", "lineno",
             "lang_name", "lang_code", "prediction",
             "p_true", "norm_prob", "signed_prob", "label",
         )
+        return (out, mdl) if return_model else out
     finally:
         inst.unpersist()
 
@@ -121,10 +288,14 @@ def write_labelled_lines(
 ) -> None:
     """S8 sink (write_to_files, main.py:242-277): annotate span lines
     with the predicted language and write partitioned by doc bucket."""
-    pred = predictions.select(
+    # predictions are per L-line; annotate the whole span with its first
+    # L-line's winner (deterministic: struct-min orders by lineno first)
+    pred = predictions.groupBy("doc_id", "span_id").agg(
+        F.min(F.struct("lineno", "lang_name", "lang_code")).alias("s")
+    ).select(
         "doc_id", "span_id",
-        F.col("lang_name").alias("pred_lang_name"),
-        F.col("lang_code").alias("pred_lang_code"),
+        F.col("s.lang_name").alias("pred_lang_name"),
+        F.col("s.lang_code").alias("pred_lang_code"),
     )
     out = lines.join(pred, ["doc_id", "span_id"], "left")
     out = out.withColumn(

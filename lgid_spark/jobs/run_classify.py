@@ -70,17 +70,17 @@ def main(argv: list[str] | None = None) -> int:
 
         model = LogisticRegressionModel.load(args.model)
 
-    best = classify_documents(spark, lines, table, model=model)
+    # return_model=True hands back the model classify_documents already
+    # trained/used — training happens exactly once, and the saved model
+    # is the one that produced the written predictions
+    best, used_model = classify_documents(
+        spark, lines, table, model=model, return_model=True)
     best.persist()
     n_spans = best.count()
     n_right = best.where("label").count()
     write_labelled_lines(lines, best, args.output)
-    if args.save_model and model is None:
-        from lgid_spark.classify import build_instances
-        from lgid_spark.operators.classifier import train
-
-        train(build_instances(spark, lines, table)).write().overwrite().save(
-            args.save_model)
+    if args.save_model:
+        used_model.write().overwrite().save(args.save_model)
     best.unpersist()
     print(json.dumps({
         "n_spans": n_spans,

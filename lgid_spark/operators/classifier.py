@@ -70,20 +70,27 @@ def score(instances: DataFrame, model: LogisticRegressionModel) -> DataFrame:
 
 
 def best_candidates(scored: DataFrame) -> DataFrame:
-    """O1/O2: min-max normalize p_true within each (doc,span,line) group
-    and keep the argmax candidate; signed_prob < 0 means the model says
-    'not this language' for the winning candidate."""
+    """O1/O2: signed prob per candidate, min-max normalized within each
+    (doc,span,line) group; keep the argmax candidate.
+
+    find_best_and_normalize (main.py:301-323): the probability of the
+    argmax CLASS is negated when that class is False — in p_true terms
+    signed = p_true if p_true ≥ 0.5 else −(1−p_true) = p_true − 1
+    (monotonic in p_true, so the winner is still the p_true argmax) —
+    and the min-max normalization runs over the SIGNED values. The
+    reference divides by zero when max==min (NaN); we pin that to 1.0."""
     w = Window.partitionBy(*GROUP)
     rk = Window.partitionBy(*GROUP).orderBy(
         F.desc("p_true"), F.asc("lang_name"), F.asc("lang_code"))
+    signed = F.when(
+        F.col("p_true") >= 0.5, F.col("p_true")
+    ).otherwise(F.col("p_true") - 1)
     norm = F.when(
-        F.max("p_true").over(w) == F.min("p_true").over(w), F.lit(1.0)
+        F.max(signed).over(w) == F.min(signed).over(w), F.lit(1.0)
     ).otherwise(
-        (F.col("p_true") - F.min("p_true").over(w))
-        / (F.max("p_true").over(w) - F.min("p_true").over(w))
+        (signed - F.min(signed).over(w))
+        / (F.max(signed).over(w) - F.min(signed).over(w))
     )
-    signed = F.when(F.col("p_true") >= 0.5, F.col("p_true")).otherwise(
-        -F.col("p_true"))
     return (
         scored.withColumn("norm_prob", norm)
         .withColumn("signed_prob", signed)

@@ -61,14 +61,17 @@ def build_lm_ngrams(
     lang_col: str = "lang",
     char_n: int = 3,
     word_n: int = 2,
+    morph_n: int | None = None,
 ) -> DataFrame:
-    """corpus(lang, text) → lm_ngrams(lang_code, gram_type, ngram, count)."""
+    """corpus(lang, text) → lm_ngrams(lang_code, gram_type, ngram, count).
+    Reference gram sizes (config.ini:24-26): char 3, word 1, morpheme 2 —
+    pass word_n=1, morph_n=2 to build the feature-path ODIN LM."""
     t = F.col(text_col)
     parts = []
     for gram_type, col in (
         ("char", char_ngrams_col(t, char_n)),
         ("word", word_ngrams_col(t, word_n)),
-        ("morph", morph_ngrams_col(t, word_n)),
+        ("morph", morph_ngrams_col(t, word_n if morph_n is None else morph_n)),
     ):
         parts.append(
             corpus.select(
@@ -91,6 +94,79 @@ def write_lm_table(lm: DataFrame, path: str) -> None:
     """S9 sink: partitioned by (lang_code, gram_type) so per-language
     loads prune partitions (the Spark form of main.py:567-576)."""
     lm.write.mode("overwrite").partitionBy("lang_code", "gram_type").parquet(path)
+
+
+def odin_char_grams(text, n: int = 3):
+    """The ODIN char-gram list for ngram_matching (features.py:337-339):
+    per-word padded n-grams flattened, then the FIRST and LAST gram of
+    the whole list dropped (features.py:344-346 `ngrams[1:-1]`)."""
+    flat = char_ngrams_col(text, n)
+    return F.slice(flat, 2, F.greatest(F.size(flat) - 2, F.lit(0)))
+
+
+def word_tokens(text):
+    """ODIN/Crúbadán word unigrams after sentinel stripping
+    (features.py:344-346: word_ngrams adds '\\n' sentinels which
+    `[1:-1]` removes again — net effect: the plain tokens)."""
+    return F.filter(F.split(F.trim(text), r"(?U)\s+"), lambda w: w != F.lit(""))
+
+
+# family → (gram_type in the LM table, gram-array expression builder)
+LM_FAMILIES = {
+    "L-LMw": ("word", word_tokens),                      # features.py:131
+    "L-LMc": ("char", odin_char_grams),                  # features.py:133
+    "L-LMm": ("morph", lambda t: morph_ngrams_col(t, 2)),  # features.py:135
+    "L-CR-LMw": ("word", word_tokens),                   # features.py:139
+    "L-CR-LMc": ("char", lambda t: char_ngrams_col(t, 3)),  # features.py:141
+}
+
+
+def lm_line_match_ratios(
+    l_lines: DataFrame,
+    cand_codes: DataFrame,
+    lm: DataFrame,
+    families: list[str],
+) -> DataFrame:
+    """Per-L-line LM match percent for each candidate code — the core of
+    ngram_matching (features.py:300-354): percent = (#grams of the line
+    present in the candidate's LM) / (#grams of the line), duplicates
+    counted per occurrence. Divergence from the reference, documented:
+    LMs are keyed by lang_code only (the reference's
+    `code-only-odin-lms = yes` mode, config.ini:41), and morpheme grams
+    carry no empty-string sentinels.
+
+    Args: l_lines(doc_id, span_id, lineno, text);
+          cand_codes(doc_id, code) distinct candidate codes per doc;
+          lm(lang_code, gram_type, ngram[, count]).
+    Returns (doc_id, span_id, lineno, code, family, ratio) — rows only
+    where the line has ≥1 gram (the reference's ZeroDivisionError guard,
+    features.py:347-349, emits no flags for empty lines)."""
+    keys = ["doc_id", "span_id", "lineno"]
+    grams = None
+    for fam in families:
+        gram_type, expr = LM_FAMILIES[fam]
+        part = l_lines.select(
+            *keys,
+            F.lit(fam).alias("family"),
+            F.lit(gram_type).alias("gram_type"),
+            F.explode(expr(F.col("text"))).alias("ngram"),
+        )
+        grams = part if grams is None else grams.unionByName(part)
+    totals = grams.groupBy(*keys, "family").agg(
+        F.count("*").alias("n_total"))
+    fanned = grams.join(cand_codes, "doc_id")
+    hits = (
+        fanned.join(
+            lm.select(F.col("lang_code").alias("code"), "gram_type", "ngram"),
+            ["code", "gram_type", "ngram"], "inner")
+        .groupBy(*keys, "code", "family")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    base = totals.join(cand_codes, "doc_id")
+    return base.join(hits, keys + ["code", "family"], "left").select(
+        *keys, "code", "family",
+        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_total")).alias("ratio"),
+    )
 
 
 def lm_match_ratio(df: DataFrame, lm: DataFrame, text_col: str, lang_col: str,

@@ -1,12 +1,21 @@
 """End-to-end classify lifecycle on a crafted corpus: every span's
 language is mentioned close to it, so a trained model must recover the
-gold labels (the reference's test smoke, main.py:356-423)."""
+gold labels (the reference's test smoke, main.py:356-423).
+
+Feature keys are the reference's exact strings (features.py families);
+instances are one row per (L-line × doc-wide candidate pair),
+main.py:588-633."""
 
 from __future__ import annotations
 
 import pytest
 
-from lgid_spark.classify import build_instances, classify_documents, write_labelled_lines
+from lgid_spark.classify import (
+    ENGLISH_WORD_LANG_NAMES,
+    build_instances,
+    classify_documents,
+    write_labelled_lines,
+)
 from lgid_spark.fixtures import LANG_TABLE
 
 LINES_SCHEMA = (
@@ -41,18 +50,78 @@ def lines(spark):
 def test_instances_shape_and_labels(spark, lines):
     inst = build_instances(spark, lines, LANG_TABLE)
     rows = inst.collect()
-    assert len(rows) > 6  # multiple candidates per span
-    # every span has exactly one positive candidate
+    assert len(rows) >= 6  # one row per L-line × candidate
+    # every L-line has exactly one positive candidate
     pos = [r for r in rows if r.label]
     assert len(pos) == 6
     for r in pos:
-        assert r.feats["w_prev"] or r.feats["w_close"] or r.feats["in_span"]
+        # mention on lines 1-2, span top = 3 → both before-windows hit
+        assert r.feats["W-prev"] and r.feats["W-close"]
+        # doc-wide flags: mentions are in the first 25 lines
+        assert r.feats["GL-first-lines"] and r.feats["GL-most-frequent"]
+        # add_nums cross: each doc mentions < 5 distinct names
+        assert r.feats["GL-first-lines&langs<5"]
+        # closest-before: line-2 mention is the closest to span top
+        assert r.feats["W-closest"]
+        assert not r.feats["GL-possible-english-word"]
+
+
+def test_english_word_name_flag(spark):
+    """J6 (features.py:372-382): names that are common English words get
+    GL-possible-english-word; short names get GL-short-lang-name."""
+    table = {"even": ["eve"], "quenya": ["qya"], "so": ["soo"]}
+    rows = [
+        ("d0", 1, "O", None, None, None, "they even said so in quenya"),
+        ("d0", 2, "L", "s1", "quenya", "qya", "ex am ple"),
+    ]
+    df = spark.createDataFrame(rows, LINES_SCHEMA)
+    inst = build_instances(spark, df, table)
+    feats = {(r.lang_name, r.lang_code): r.feats for r in inst.collect()}
+    assert feats[("even", "eve")]["GL-possible-english-word"]
+    assert feats[("so", "soo")]["GL-possible-english-word"]
+    assert feats[("so", "soo")]["GL-short-lang-name"]  # len 2 ≤ 3
+    assert feats[("so", "soo")]["GL-C-name<2"]  # quirk: <= i (features.py:385)
+    assert not feats[("so", "soo")]["GL-C-name<1"]
+    assert not feats[("quenya", "qya")]["GL-possible-english-word"]
+    assert "even" in ENGLISH_WORD_LANG_NAMES
+
+
+def test_lm_threshold_features(spark, lines):
+    """L-LM* cumulative flags (features.py:300-354): an ODIN LM built
+    from quenya-like text makes the quenya candidate's L-line match."""
+    from lgid_spark.operators.lm import build_lm_ngrams
+
+    corpus = spark.createDataFrame(
+        [("qya", "ex am ple li ne"), ("vld", "zz yy xx ww vv"),
+         ("mv1", "qq rr ss tt uu")],
+        ["lang", "text"],
+    )
+    lm = build_lm_ngrams(corpus, char_n=3, word_n=1, morph_n=2)
+    inst = build_instances(spark, lines, LANG_TABLE, odin_lm=lm)
+    rows = inst.where("doc_id = 'doc0'").collect()  # quenya doc
+    feats = {(r.lang_name, r.lang_code): r.feats for r in rows}
+    q = feats[("quenya", "qya")]
+    # the L-line IS the qya training text → every word/char gram matches
+    assert q["L-LMw>1.0"] and q["L-LMc>1.0"] and q["L-LMm>1.0"]
+    # threshold flags are cumulative
+    assert q["L-LMw>0.1"] and q["L-LMc>0.5"]
+
+
+def test_common_table_flag(spark, lines):
+    inst = build_instances(
+        spark, lines, LANG_TABLE, common_table={"molvani": ["mv1"]})
+    feats = {
+        (r.lang_name, r.lang_code): r.feats
+        for r in inst.where("doc_id = 'doc2'").collect()  # molvani doc
+    }
+    assert feats[("molvani", "mv1")]["GL-most-frequent-code"]
+    assert not feats[("molvani", "mv2")]["GL-most-frequent-code"]
 
 
 def test_classify_end_to_end(spark, lines, tmp_path):
     best = classify_documents(spark, lines, LANG_TABLE)
     rows = best.collect()
-    assert len(rows) == 6  # one winner per span
+    assert len(rows) == 6  # one winner per L-line
     acc = sum(1 for r in rows if r.label) / len(rows)
     assert acc == 1.0  # separable by construction
     # S8 sink: labelled lines roundtrip
@@ -62,3 +131,38 @@ def test_classify_end_to_end(spark, lines, tmp_path):
     assert back.count() == lines.count()
     labelled = back.where("span_id is not null and pred_lang_code is not null")
     assert labelled.count() == 18  # 3 span lines × 6 docs
+
+
+def test_classify_needs_lm_features(spark):
+    """Harder corpus where window flags alone are insufficient: every doc
+    mentions BOTH languages symmetrically before the span, so only the
+    L-LM* evidence separates the candidates (VERDICT r1 item 1)."""
+    from lgid_spark.operators.lm import build_lm_ngrams
+
+    texts = {"qya": "lorem ipsum dolor sit amet",
+             "vld": "zyx wvu tsr qpo nml"}
+    langs = [("quenya", "qya"), ("valdese", "vld")]
+    rows = []
+    for d in range(8):
+        doc = f"doc{d}"
+        name, code = langs[d % 2]
+        rows += [
+            (doc, 1, "O", None, None, None, "about quenya and valdese"),
+            (doc, 2, "L", "s1", name, code, texts[code]),
+            (doc, 3, "G", "s1", None, None, "gloss"),
+        ]
+    lines = spark.createDataFrame(rows, LINES_SCHEMA)
+    lm = build_lm_ngrams(
+        spark.createDataFrame(list(texts.items()), ["lang", "text"]),
+        char_n=3, word_n=1, morph_n=2)
+    table = {"quenya": ["qya"], "valdese": ["vld"]}
+
+    # without the LM: both candidates have identical window features →
+    # ties break lexically → every span predicted 'quenya' → acc 0.5
+    blind = classify_documents(spark, lines, table).collect()
+    blind_acc = sum(1 for r in blind if r.label) / len(blind)
+    assert blind_acc <= 0.5
+
+    best = classify_documents(spark, lines, table, odin_lm=lm).collect()
+    acc = sum(1 for r in best if r.label) / len(best)
+    assert acc == 1.0

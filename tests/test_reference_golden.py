@@ -4,9 +4,10 @@ reference's real language table and require every gold row
 (test/mentions_gold_output.txt) to be found with identical spans,
 names, and codes.
 
-Our matcher is case-insensitive (documented divergence from the
-reference's title-case transform), so we may emit EXTRA rows — the
-assertion is gold ⊆ ours, plus a sanity cap on the extras.
+Despite our matcher being case-insensitive by default (documented
+divergence from the reference's title-case transform), the output on
+this fixture is EXACTLY the gold set — the assertions require set
+equality in both directions (54/54 default, 29/29 single-longest).
 """
 
 from __future__ import annotations
