@@ -132,11 +132,14 @@ def mention_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("doc_id"),
         F.lit(1).alias("lineno"), "text")
     mentions = extract_mentions(spark, lines, _RECALL_TERMS)
-    hit_docs = mentions.select("doc_id").distinct()
-    total = docs.count()
-    return hit_docs.agg(
-        F.count("*").alias("docs_with_mention"),
-        (F.count("*") / F.lit(total)).alias("recall"),
+    hits = mentions.select("doc_id").distinct().agg(
+        F.count("*").alias("docs_with_mention"))
+    # one lazy DAG: the denominator is a 1-row agg cross-joined in,
+    # not a separate driver-side .count() job
+    total = docs.agg(F.count("*").alias("n_total"))
+    return hits.crossJoin(total).select(
+        "docs_with_mention",
+        (F.col("docs_with_mention") / F.col("n_total")).alias("recall"),
     )
 
 
@@ -153,57 +156,112 @@ FROM hits
 
 
 # ---------------------------------------------------------------------------
-# emb_near_dup_pairs — embedding-cosine near-dup, label-blocked (the
-# IVF-style candidate restriction), deterministic double fold both sides.
+# emb_near_dup_pairs — embedding-cosine near-dup with RP-LSH band
+# candidate generation (the 100-TB shape: candidates come from equi-join
+# on shared LSH bands — never an all-pairs/blocked cartesian — and the
+# exact cosine runs only on the deduped candidate set).
+#
+# 16 signed random hyperplanes → 2 bands × 8 bits; a pair is a candidate
+# iff it shares ANY band (8-bit bands keep the candidate set ~26× smaller
+# than 4-bit bands at sf0.1 while still catching high-cosine near-dups —
+# this is ANN semantics: recall of borderline-similarity pairs is traded
+# for a candidate set that stays linear in corpus size). Plane signs are deterministic md5-parity
+# constants computed once in Python and embedded as literals in BOTH the
+# Spark plan and the DuckDB oracle, so the two engines see bitwise-equal
+# projections (sequential double fold on both sides).
 # ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
 
 _DIM = 64
 _COS_MIN = 0.35
+_N_DUP_PLANES = 16
+_N_DUP_BANDS = 2
+_BAND_BITS = _N_DUP_PLANES // _N_DUP_BANDS
 
-_DOT = (
-    "list_sum(list_transform(generate_series(1, 64), "
-    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
-)
-_NORM_A = (
-    "sqrt(list_sum(list_transform(generate_series(1, 64), "
-    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))"
-)
-_NORM_B = (
-    "sqrt(list_sum(list_transform(generate_series(1, 64), "
-    "i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))"
-)
+
+def _dup_sign(k: int, i: int) -> float:
+    h = _hashlib.md5(f"dupplane|{k}|{i}".encode()).hexdigest()[0]
+    return 1.0 if int(h, 16) & 1 else -1.0
+
+
+_DUP_SIGNS = [
+    [_dup_sign(k, i) for i in range(1, _DIM + 1)]
+    for k in range(_N_DUP_PLANES)
+]
+
+
+def _dot64(x, y):
+    """Sequential double fold (deterministic order, engine-portable)."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(_DIM)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(x, i).cast("double") * F.element_at(y, i).cast("double"),
+    )
+
+
+def _dup_proj(coefs):
+    # NB: closure, not a default arg — a `c=coefs` default changes the
+    # lambda arity Spark sees and breaks F.aggregate
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(_DIM)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(F.col("embedding"), i).cast("double")
+        * F.element_at(coefs, i),
+    )
+
+
+def _dup_sig_col():
+    """16-bit signature: bit k = sign of the k-th plane projection."""
+    sig = None
+    for k in range(_N_DUP_PLANES):
+        proj = _dup_proj(F.array(*[F.lit(s) for s in _DUP_SIGNS[k]]))
+        bit = F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig.cast("int")
 
 
 @_q("emb_near_dup_pairs")
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-
-    def dot(x, y):
-        return F.aggregate(
-            F.sequence(F.lit(1), F.lit(_DIM)),
-            F.lit(0.0),
-            lambda acc, i: acc
-            + F.element_at(x, i).cast("double") * F.element_at(y, i).cast("double"),
+    # stage 1: signatures → banded candidate pairs (equi-join on band)
+    bands = (
+        emb.select("vec_id", _dup_sig_col().alias("sig"))
+        .select(
+            "vec_id",
+            F.posexplode(F.array(*[
+                F.shiftright(F.col("sig"), _BAND_BITS * j)
+                .bitwiseAND(F.lit((1 << _BAND_BITS) - 1))
+                for j in range(_N_DUP_BANDS)
+            ])).alias("band_idx", "band_val"),
         )
-
-    # rename columns on independently-read sides: a self-join through
-    # alias() breaks attribute binding inside higher-order functions
-    # (Spark 4 INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND). Norms are computed
-    # ONCE per vector before the join — 3x less fold work per pair.
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("label").alias("label"),
-        F.col("embedding").alias("emb_a"),
-    ).withColumn("norm_a", F.sqrt(dot(F.col("emb_a"), F.col("emb_a"))))
-    b = t(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
-        F.col("embedding").alias("emb_b"),
-    ).withColumn("norm_b", F.sqrt(dot(F.col("emb_b"), F.col("emb_b"))))
-    pairs = a.join(
-        b,
-        (F.col("label") == F.col("label_b"))  # block on label (IVF-ish)
-        & (F.col("vec_a") < F.col("vec_b")),
     )
-    cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    cand = (
+        bands.select(F.col("vec_id").alias("vec_a"), "band_idx", "band_val")
+        .join(
+            bands.select(F.col("vec_id").alias("vec_b"), "band_idx", "band_val"),
+            ["band_idx", "band_val"],
+        )
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()  # a pair sharing several bands verifies once
+    )
+    # stage 2: exact cosine verification on candidates only. Sides are
+    # independently-read (Spark 4 alias()-self-join + HOF lambdas break
+    # attribute binding); norms computed once per vector pre-join.
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), "label",
+        F.col("embedding").alias("emb_a"),
+    ).withColumn("norm_a", F.sqrt(_dot64(F.col("emb_a"), F.col("emb_a"))))
+    b = t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+    ).withColumn("norm_b", F.sqrt(_dot64(F.col("emb_b"), F.col("emb_b"))))
+    pairs = cand.join(a, "vec_a").join(b, "vec_b")
+    cos = _dot64(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("norm_a") * F.col("norm_b"))
     return (
         pairs.withColumn("cos_sim", F.round(cos, 6))
         .where(F.col("cos_sim") >= _COS_MIN)
@@ -211,17 +269,47 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dup_sig_sql() -> str:
+    terms = []
+    for k in range(_N_DUP_PLANES):
+        coefs = "[" + ",".join(
+            ("1.0" if s > 0 else "-1.0") for s in _DUP_SIGNS[k]) + "]"
+        proj = (
+            f"list_sum(list_transform(generate_series(1, {_DIM}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({coefs}[i])))"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << k} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_DOT_AB = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+)
+
 ORACLE_SQL["emb_near_dup_pairs"] = f"""
-WITH n AS (
+WITH s AS (
   SELECT vec_id, label, embedding,
          sqrt(list_sum(list_transform(generate_series(1, 64),
-              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm,
+         CAST({_dup_sig_sql()} AS INT) AS sig
   FROM embeddings
+), bands AS (
+  SELECT vec_id, j AS band_idx,
+         (sig >> ({_BAND_BITS} * j)) & {(1 << _BAND_BITS) - 1} AS band_val
+  FROM s, unnest([0, 1]) u(j)
+), cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+   AND x.vec_id < y.vec_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-       ROUND({_DOT} / (a.nrm * b.nrm), 6) AS cos_sim
-FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE ROUND({_DOT} / (a.nrm * b.nrm), 6) >= {_COS_MIN}
+SELECT c.vec_a, c.vec_b, a.label AS label,
+       ROUND({_DOT_AB} / (a.nrm * b.nrm), 6) AS cos_sim
+FROM cand c
+JOIN s a ON a.vec_id = c.vec_a
+JOIN s b ON b.vec_id = c.vec_b
+WHERE ROUND({_DOT_AB} / (a.nrm * b.nrm), 6) >= {_COS_MIN}
 """
 
 

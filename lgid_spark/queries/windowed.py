@@ -231,8 +231,11 @@ def error_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # no forced broadcast: at sf0.01 AQE broadcasts the exploded errors
+    # side on its own; at 100× the exploded side can exceed the driver's
+    # broadcast budget, and the equi-join on tb shuffles fine (VERDICT r1)
     ev_b = ev.withColumn("tb", F.floor(F.col("ts_us") / _RANGE_US))
-    joined = ev_b.join(F.broadcast(errors), "tb").filter(
+    joined = ev_b.join(errors, "tb").filter(
         (F.col("ts_us") >= F.col("err_ts_us") - _RANGE_US)
         & (F.col("ts_us") <= F.col("err_ts_us") + _RANGE_US)
         & (F.col("event_id") != F.col("err_id"))

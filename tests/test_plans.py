@@ -53,9 +53,23 @@ def test_column_pruning_reaches_scan(spark):
 
 
 def test_range_join_is_hash_not_nested_loop(spark):
+    # broadcast no longer forced (AQE picks it when the exploded errors
+    # side is small; a shuffled hash/sort-merge join is equally fine at
+    # scale) — what matters is that the bucketization kept it an
+    # equi-join, never a nested loop
     plan = _plan(error_window_join(spark, SF))
-    assert "BroadcastHashJoin" in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_emb_near_dup_no_cartesian(spark):
+    from lgid_spark.queries.coverage import emb_near_dup_pairs
+
+    # the near-dup candidate stage must be an equi-join on LSH bands —
+    # the r1 all-pairs-within-label block was quadratic (VERDICT r1 #2)
+    plan = _plan(emb_near_dup_pairs(spark, SF))
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
 def test_salted_agg_is_two_stage(spark):
