@@ -36,11 +36,28 @@ LM_SCHEMA = T.StructType([
 
 
 def read_dir_index(spark: SparkSession, path: str) -> DataFrame:
-    """Directory-index CSV (name, code, directory) → broadcast dim."""
-    return (
-        spark.read.option("header", "true").csv(path)
-        .select("name", "code", "directory")
+    """Directory-index CSV → broadcast dim (name, code, directory).
+
+    Read POSITIONALLY like the reference (util.py:133-143 discards the
+    header row and takes row[0]=name, row[1]=iso, row[2]=directory), so
+    the real index header `language_name,iso_code,crubadan_directory`
+    and any other spelling both work."""
+    df = spark.read.option("header", "true").csv(path)
+    c0, c1, c2 = df.columns[:3]
+    return df.select(
+        F.col(c0).alias("name"),
+        F.col(c1).alias("code"),
+        F.trim(F.col(c2)).alias("directory"),
     )
+
+
+def gram_file_path(base_dir: str, directory: str, suffix: str) -> str:
+    """util.py:159-160: gram files are prefixed with the SECOND
+    underscore component of the directory name (`aaa_aaa` → `aaa`),
+    not the full directory name."""
+    parts = directory.split("_")
+    prefix = parts[1] if len(parts) > 1 else directory
+    return os.path.join(base_dir, directory, prefix + suffix)
 
 
 def read_crubadan_lm(
@@ -58,7 +75,8 @@ def read_crubadan_lm(
         rows = rows.where(F.col("code").isin(codes))
     # the index is tiny: resolve file paths driver-side, parse distributed
     tasks = [
-        (r["code"], gram_type, os.path.join(base_dir, r["directory"], r["directory"] + suffix))
+        (r["code"], gram_type,
+         gram_file_path(base_dir, r["directory"], suffix))
         for r in rows.collect()
         for gram_type, suffix in GRAM_FILES.items()
     ]
@@ -89,20 +107,22 @@ def read_crubadan_lm(
 
 def write_synthetic_crubadan(base_dir: str, langs: dict[str, list[str]]) -> str:
     """Test fixture: synthesize a dir-index + per-language gram files
-    from word lists; returns the index CSV path."""
+    in the REAL Crúbadán layout (header `language_name,iso_code,
+    crubadan_directory`, directory `xx_yyy`, files prefixed with the
+    second underscore component); returns the index CSV path."""
     os.makedirs(base_dir, exist_ok=True)
     index_path = os.path.join(base_dir, "crubadan_directory_index.csv")
     with open(index_path, "w", encoding="utf-8") as idx:
-        idx.write("name,code,directory\n")
+        idx.write("language_name,iso_code,crubadan_directory\n")
         for code, words in sorted(langs.items()):
-            d = f"{code}_dir"
+            d = f"xx_{code}"
             idx.write(f"{code}-name,{code},{d}\n")
             os.makedirs(os.path.join(base_dir, d), exist_ok=True)
-            with open(os.path.join(base_dir, d, d + "-words.txt"), "w",
+            with open(os.path.join(base_dir, d, code + "-words.txt"), "w",
                       encoding="utf-8") as fh:
                 for k, w in enumerate(words):
                     fh.write(f"{w}\t{len(words) - k}\n")
-            with open(os.path.join(base_dir, d, d + "-chartrigrams.txt"),
+            with open(os.path.join(base_dir, d, code + "-chartrigrams.txt"),
                       "w", encoding="utf-8") as fh:
                 grams: dict[str, int] = {}
                 for w in words:

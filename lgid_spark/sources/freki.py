@@ -35,6 +35,10 @@ FREKI_SCHEMA = T.StructType([
     T.StructField("lang_code", T.StringType()),
     T.StructField("fonts", T.StringType()),
     T.StructField("text", T.StringType()),
+    # lossless round-trip fields (S8 freki sink): the verbatim pre-colon
+    # attribute section of the line and the verbatim block-header line
+    T.StructField("raw_head", T.StringType()),
+    T.StructField("block_header", T.StringType()),
 ])
 
 
@@ -54,7 +58,7 @@ def _parse_attrs(section: str) -> dict[str, str]:
 def parse_freki(content: str) -> list[tuple]:
     """One Freki file → rows of FREKI_SCHEMA."""
     rows: list[tuple] = []
-    doc_id = page = block_id = label = None
+    doc_id = page = block_id = label = header = None
     for raw in content.split("\n"):
         if not raw.strip():
             continue
@@ -64,6 +68,7 @@ def parse_freki(content: str) -> list[tuple]:
             doc_id = attrs.get("doc_id", "").split(" ")[0]
             block_id = attrs.get("block_id")
             label = attrs.get("label", "").split(" ")[0]
+            header = raw
             try:
                 page = int(attrs.get("page", "0"))
             except ValueError:
@@ -84,6 +89,8 @@ def parse_freki(content: str) -> list[tuple]:
                 attrs.get("lang_code"),
                 attrs.get("fonts"),
                 text,
+                head,
+                header,
             ))
     return rows
 

@@ -1,12 +1,36 @@
-"""S4 Crúbadán-style source: dir-index resolution + gram-file parse."""
+"""S4 Crúbadán-style source: dir-index resolution + gram-file parse,
+including the REAL index layout (header language_name,iso_code,
+crubadan_directory; file prefix = directory.split('_')[1])."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
+
 from lgid_spark.sources.crubadan import (
+    gram_file_path,
     read_crubadan_lm,
     read_dir_index,
     write_synthetic_crubadan,
 )
+
+REAL_INDEX = "/root/reference/res/crubadan_directory_index.csv"
+
+
+@pytest.mark.skipif(not os.path.exists(REAL_INDEX), reason="no reference res")
+def test_real_directory_index(spark):
+    index = read_dir_index(spark, REAL_INDEX)
+    assert index.columns == ["name", "code", "directory"]
+    rows = {r.code: (r.name, r.directory) for r in index.collect()}
+    # spot-check against the file's own first data rows
+    assert rows["aaa"] == ("ghotuo", "aaa_aaa")
+    assert rows["aab"] == ("alumu-tesu", "aab_aab")
+    # file prefix is the SECOND underscore component (util.py:159-160)
+    assert gram_file_path("/base", "aai_Latn", "-words.txt") == (
+        "/base/aai_Latn/Latn-words.txt")
+    assert gram_file_path("/base", "aaa_aaa", "-chartrigrams.txt") == (
+        "/base/aaa_aaa/aaa-chartrigrams.txt")
 
 
 def test_crubadan_roundtrip(spark, tmp_path):
