@@ -70,6 +70,29 @@ def _pipeline_webpages_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Non-SQL-expressible entries (driver records rows-only checks).
 QUERIES["pipeline_keep_stats"] = _pipeline_keep_stats
 QUERIES["pipeline_webpages_synthetic"] = _pipeline_webpages_synthetic
+
+# pipeline_webpages_synthetic is input-independent (deterministic
+# generator, 500 docs) → golden VALUES oracle; the aggregates are counts
+# and 2-decimal means, robust to float summation order.
+ORACLE_SQL["pipeline_webpages_synthetic"] = """
+SELECT * FROM (VALUES
+  ('fra', true,  CAST(78 AS BIGINT), CAST(19678.44 AS DOUBLE)),
+  ('spa', true,  CAST(77 AS BIGINT), CAST(19888.35 AS DOUBLE)),
+  ('tok', false, CAST(22 AS BIGINT), CAST(35633.67 AS DOUBLE)),
+  ('deu', false, CAST(21 AS BIGINT), CAST(21545.57 AS DOUBLE)),
+  ('tok', true,  CAST(92 AS BIGINT), CAST(18983.81 AS DOUBLE)),
+  ('eng', false, CAST(20 AS BIGINT), CAST(20709.96 AS DOUBLE)),
+  ('spa', false, CAST(26 AS BIGINT), CAST(26351.89 AS DOUBLE)),
+  ('eng', true,  CAST(74 AS BIGINT), CAST(21622.23 AS DOUBLE)),
+  ('fra', false, CAST(35 AS BIGINT), CAST(103243.31 AS DOUBLE)),
+  ('deu', true,  CAST(55 AS BIGINT), CAST(21394.74 AS DOUBLE))
+) AS t(lang_pred, keep, n, mean_ppl)
+"""
+
+# pipeline_keep_stats stays rows-only: it aggregates the flagship
+# pipeline over the sf-dependent documents table, and the keep/drop
+# decision (hashed-ngram langid + perplexity + scrub) is not
+# SQL-expressible; its per-row semantics are covered byte-exactly by
+# tests/test_pipeline_parity.py against the pandas reference oracle.

@@ -188,7 +188,14 @@ FROM per_doc GROUP BY lang
 
 
 # ---------------------------------------------------------------------------
-# rows-only entries (non-SQL-expressible surfaces)
+# Input-independent lifecycle queries with GOLDEN oracles.
+#
+# These run on deterministic synthetic fixtures (sf_dir unused), so their
+# expected output is a constant — the oracle is a literal VALUES table
+# (a golden file in SQL form). Any semantic drift in the mention/evidence/
+# classifier/LM/multimodal operators breaks the value hash. The outputs
+# are aggregate counts (and coarsely-rounded means), so they are robust
+# to float summation order across partitionings.
 # ---------------------------------------------------------------------------
 
 def _media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,6 +208,14 @@ def _media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["media_feature_stats"] = _media_feature_stats
+
+ORACLE_SQL["media_feature_stats"] = """
+SELECT * FROM (VALUES
+  ('video', CAST(100 AS BIGINT), CAST(44.52 AS DOUBLE), CAST(0.5195 AS DOUBLE)),
+  ('image', CAST(100 AS BIGINT), CAST(46.20 AS DOUBLE), CAST(0.5203 AS DOUBLE)),
+  ('audio', CAST(100 AS BIGINT), CAST(47.53 AS DOUBLE), CAST(0.4800 AS DOUBLE))
+) AS t(kind, n, mean_width, mean_f0)
+"""
 
 
 def _classifier_cv_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,6 +244,16 @@ def _classifier_cv_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["classifier_cv"] = _classifier_cv_impl
 
+# deterministic: xxhash64 fold assignment of 24 synthetic docs into 3
+# folds (6/8/10 groups) on a separable fixture → accuracy 1.0 per fold
+ORACLE_SQL["classifier_cv"] = """
+SELECT * FROM (VALUES
+  (0, CAST(6 AS BIGINT), CAST(1.0 AS DOUBLE)),
+  (1, CAST(8 AS BIGINT), CAST(1.0 AS DOUBLE)),
+  (2, CAST(10 AS BIGINT), CAST(1.0 AS DOUBLE))
+) AS t(fold, n_groups, accuracy)
+"""
+
 
 def _xigt_lm_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the build-odin-lm lifecycle (S6→A5→S9) over synthetic
@@ -250,6 +275,22 @@ def _xigt_lm_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["xigt_lm_build"] = _xigt_lm_build
+
+# deterministic: synthetic_xigt_xml(w0..w7, 4 igts) parsed → L-lines →
+# char/word/morph n-gram counts per language
+ORACLE_SQL["xigt_lm_build"] = """
+SELECT * FROM (VALUES
+  ('spa', 'word',  CAST(4 AS BIGINT),  CAST(32 AS BIGINT)),
+  ('fra', 'word',  CAST(4 AS BIGINT),  CAST(32 AS BIGINT)),
+  ('fra', 'morph', CAST(5 AS BIGINT),  CAST(40 AS BIGINT)),
+  ('spa', 'morph', CAST(5 AS BIGINT),  CAST(40 AS BIGINT)),
+  ('deu', 'word',  CAST(5 AS BIGINT),  CAST(64 AS BIGINT)),
+  ('spa', 'char',  CAST(27 AS BIGINT), CAST(216 AS BIGINT)),
+  ('deu', 'char',  CAST(28 AS BIGINT), CAST(432 AS BIGINT)),
+  ('deu', 'morph', CAST(6 AS BIGINT),  CAST(80 AS BIGINT)),
+  ('fra', 'char',  CAST(27 AS BIGINT), CAST(216 AS BIGINT))
+) AS t(lang_code, gram_type, n_ngrams, total_count)
+"""
 
 
 def _classify_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,3 +321,13 @@ def _classify_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["classify_lifecycle"] = _classify_lifecycle
+
+# deterministic: 9 crafted docs (3 per language), every span's winner is
+# the gold pair → 3 spans per prediction, all correct
+ORACLE_SQL["classify_lifecycle"] = """
+SELECT * FROM (VALUES
+  ('valdese-vld', CAST(3 AS BIGINT), CAST(3 AS BIGINT)),
+  ('quenya-qya',  CAST(3 AS BIGINT), CAST(3 AS BIGINT)),
+  ('molvani-mv1', CAST(3 AS BIGINT), CAST(3 AS BIGINT))
+) AS t(prediction, n_spans, n_correct)
+"""
