@@ -46,18 +46,42 @@ def vectorize(instances: DataFrame) -> DataFrame:
     return tf.transform(df)
 
 
-def train(instances: DataFrame) -> LogisticRegressionModel:
+def train(instances: DataFrame, select_k: int | None = None):
+    """M3 LR fit; with select_k, M2 chi² feature selection first
+    (models.py:80-107 SelectKBest(chi2, k) → UnivariateFeatureSelector
+    with categorical feature+label = chi-squared scoring). Returns a
+    LogisticRegressionModel, or a PipelineModel [selector, LR] whose
+    .transform chains selection into scoring — both serialize through
+    spark.ml save/load (M6)."""
     vec = vectorize(instances).withColumn(
         "label_d", F.col("label").cast("double"))
-    lr = LogisticRegression(
-        featuresCol="features", labelCol="label_d",
-        regParam=1e-4, maxIter=100, standardization=False,
+
+    def _lr(features_col: str) -> LogisticRegression:
+        return LogisticRegression(
+            featuresCol=features_col, labelCol="label_d",
+            regParam=1e-4, maxIter=100, standardization=False,
+        )
+
+    if select_k is None:
+        return _lr("features").fit(vec)
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import UnivariateFeatureSelector
+
+    sel = (
+        UnivariateFeatureSelector(
+            featuresCol="features", outputCol="selected",
+            labelCol="label_d")
+        .setFeatureType("categorical")
+        .setLabelType("categorical")  # categorical×categorical ⇒ chi²
+        .setSelectionMode("numTopFeatures")
+        .setSelectionThreshold(select_k)
     )
-    return lr.fit(vec)
+    return Pipeline(stages=[sel, _lr("selected")]).fit(vec)
 
 
-def score(instances: DataFrame, model: LogisticRegressionModel) -> DataFrame:
-    """Add p_true = P(label=True | feats) per candidate row."""
+def score(instances: DataFrame, model) -> DataFrame:
+    """Add p_true = P(label=True | feats) per candidate row. `model` is
+    a LogisticRegressionModel or a [selector, LR] PipelineModel."""
     from pyspark.ml.functions import vector_to_array
 
     vec = vectorize(instances)
@@ -65,7 +89,7 @@ def score(instances: DataFrame, model: LogisticRegressionModel) -> DataFrame:
     p_true = F.element_at(vector_to_array(F.col("probability")), 2)
     return out.withColumn("p_true", p_true).drop(
         "rawPrediction", "probability", "prediction", "features",
-        "active_feats",
+        "selected", "active_feats",
     )
 
 

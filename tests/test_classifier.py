@@ -105,6 +105,28 @@ def test_folds_deterministic_and_partitioning(spark, instances):
     assert all(len(v) == 1 for v in per_doc.values())
 
 
+def test_chi2_feature_selection(spark, instances, tmp_path):
+    """M2 (models.py:80-107 SelectKBest(chi2, k)): selection shrinks the
+    feature space to k and the separable fixture stays at accuracy 1.0;
+    the [selector, LR] pipeline round-trips through save/load."""
+    from pyspark.ml import PipelineModel
+
+    model = train(instances, select_k=4)
+    sel = model.stages[0]
+    assert len(sel.selectedFeatures) == 4  # vector width is now k
+    best = best_candidates(score(instances, model)).collect()
+    assert sum(1 for r in best if r.label) / len(best) == 1.0
+    # the informative flags survive chi² ranking: LR weights live on a
+    # 4-dim vector, not the 2^18 hash space
+    assert model.stages[1].numFeatures == 4
+    path = str(tmp_path / "chi2_model")
+    model.write().overwrite().save(path)
+    loaded = PipelineModel.load(path)
+    again = best_candidates(score(instances, loaded)).collect()
+    assert sorted((r.doc_id, r.prediction) for r in again) == sorted(
+        (r.doc_id, r.prediction) for r in best)
+
+
 def test_cross_validate(spark, instances):
     results = cross_validate(instances, k=3)
     assert len(results) == 3
