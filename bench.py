@@ -1,13 +1,16 @@
 """Benchmark harness (driver contract).
 
 Default: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric", "value", "unit": "sec", "queries": {...}, "sf", ...}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], measures the flagship
+filter pipeline on a 960k-doc input (steady-state docs/s comparable
+round-over-round), AND measures the same pipeline at local[8] vs
+local[32] on one input (the sandbox stand-in for N vs 4N executors per
+the north rule) reporting throughput at both plus scaling efficiency
+= (T_N/T_4N)/4. Prints ONE JSON line:
+{"metric", "value", "unit": "sec", "queries": {...}, "sf", ...,
+ "scaling": {...}}.
 
---scaling: additionally measures the flagship filter pipeline at
-local[8] vs local[32] on the same input (the sandbox stand-in for N vs
-4N executors per the driver instruction) and reports throughput at both
-plus scaling efficiency = (T_N/T_4N)/4.
+--no-scaling skips the two-parallelism measurement (quick local runs).
 """
 
 from __future__ import annotations
@@ -40,7 +43,7 @@ HEADLINE = [
     "emb_near_dup_pairs",
 ]
 
-PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "60000"))
+PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "960000"))
 
 
 def _run_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -198,7 +201,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    scaling = "--scaling" in sys.argv
+    scaling = "--no-scaling" not in sys.argv
 
     spark = _fresh_spark(cpus)
     # warm the JVM/Arrow path once so measured times are steady-state

@@ -1,0 +1,95 @@
+"""Word/language int-index build (SURVEY §2.1 S5) — the reference's
+generate_language_name_mapping (/root/reference/lgid/util.py:246-304):
+every word appearing in language names gets a unique int id (starting at
+10000 so all ids are 5 digits), each language name maps to the
+concatenation of its words' ids, and each word maps to the languages it
+appears in.
+
+Determinism upgrade (documented divergence): the reference iterates a
+Python set (arbitrary order); here ids are assigned in sorted-word order
+so the index is reproducible.
+
+Scale shape: a single global row_number would sort-shuffle everything
+into ONE partition. Instead ids are assigned two-stage — row_number
+within a first-character bucket plus a broadcast cumulative offset per
+bucket — so the heavy ranking stays partitioned and only the tiny
+per-bucket count frame is globally ordered."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ID_START = 10000  # util.py:273 "so that all words will have a mapping 5 digits long"
+
+
+def dense_word_ids(words: DataFrame, word_col: str = "word",
+                   start: int = ID_START) -> DataFrame:
+    """distinct words → (word, word_id) with dense sequential ids in
+    sorted-word order, assigned without a global single-partition sort."""
+    w = words.select(F.col(word_col).alias("word")).distinct()
+    b = w.withColumn("_bkt", F.substring("word", 1, 1))
+    # per-bucket sizes: tiny frame (≤ |alphabet| rows) — the only place
+    # a global ordering is computed
+    offsets = (
+        b.groupBy("_bkt").agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_bkt")
+                    .rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .select("_bkt", "_offset")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("_bkt").orderBy("word"))
+    return (
+        b.join(F.broadcast(offsets), "_bkt")
+        .select(
+            "word",
+            (F.lit(start) + F.col("_offset") + rn - 1).alias("word_id"),
+        )
+    )
+
+
+def language_int_index(names: DataFrame, word_ids: DataFrame,
+                       name_col: str = "name") -> DataFrame:
+    """(name) × (word, word_id) → (name, index) where index is the
+    concatenation of the name's word ids in word order
+    (util.py:280-287)."""
+    exploded = names.select(
+        F.col(name_col).alias("name"),
+        F.posexplode(F.split(F.col(name_col), r"\s+")).alias("pos", "word"),
+    )
+    return (
+        exploded.join(word_ids, "word")
+        .groupBy("name")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "word_id"))),
+                    lambda s: s["word_id"].cast("string"),
+                ),
+            ).alias("index")
+        )
+    )
+
+
+def word_language_mapping(names: DataFrame, lang_index: DataFrame,
+                          name_col: str = "name") -> DataFrame:
+    """(word → comma-joined language indexes), util.py:289-304."""
+    exploded = names.select(
+        F.col(name_col).alias("name"),
+        F.explode(F.split(F.col(name_col), r"\s+")).alias("word"),
+    ).distinct()
+    return (
+        exploded.join(lang_index, "name")
+        .groupBy("word")
+        .agg(F.concat_ws(",", F.sort_array(F.collect_list("index")))
+             .alias("languages"))
+    )

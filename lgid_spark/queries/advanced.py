@@ -188,6 +188,31 @@ FROM per_doc GROUP BY lang
 
 
 # ---------------------------------------------------------------------------
+# word_int_index — S5 (util.py:246-304 generate_language_name_mapping):
+# dense sequential int ids for distinct words, assigned WITHOUT a global
+# single-partition sort (two-stage bucket ranking, operators/word_index).
+# The DuckDB oracle is the naive global row_number — same result.
+# ---------------------------------------------------------------------------
+
+@_q("word_int_index")
+def word_int_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.word_index import dense_word_ids
+
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(
+        F.filter(F.split(F.trim("text"), r"(?U)\s+"),
+                 lambda w: w != F.lit(""))).alias("word"))
+    return dense_word_ids(words)
+
+
+ORACLE_SQL["word_int_index"] = f"""
+WITH w AS (SELECT DISTINCT unnest({_WORDS_SQL}) AS word FROM documents)
+SELECT word, CAST(9999 + ROW_NUMBER() OVER (ORDER BY word) AS BIGINT) AS word_id
+FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
 # Input-independent lifecycle queries with GOLDEN oracles.
 #
 # These run on deterministic synthetic fixtures (sf_dir unused), so their
@@ -321,6 +346,121 @@ def _classify_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["classify_lifecycle"] = _classify_lifecycle
+
+
+def _classify_feature_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-feature histogram of build_instances over a crafted corpus
+    WITH an ODIN LM and a common-codes table — pins the entire feature
+    surface (window geometry, GL family, add_nums crosses, LM threshold
+    flags, english-word/short-name flags) to exact expected counts."""
+    from ..classify import build_instances
+    from ..operators.lm import build_lm_ngrams
+
+    table = {"quenya": ["qya"], "valdese": ["vld"], "so": ["soo"],
+             "north tokri": ["ntk"]}
+    texts = {"qya": "lorem ipsum dolor sit amet",
+             "vld": "zyx wvu tsr qpo nml"}
+    rows = []
+    for d in range(4):
+        doc = f"doc{d}"
+        code = ["qya", "vld"][d % 2]
+        name = {"qya": "quenya", "vld": "valdese"}[code]
+        rows += [
+            (doc, 1, "O", None, None, None,
+             f"so the {name} language and north tokri"),
+            (doc, 2, "L", "s1", name, code, texts[code]),
+            (doc, 3, "G", "s1", None, None, "gloss line"),
+        ]
+    lines = spark.createDataFrame(
+        rows,
+        "doc_id string, lineno int, tag string, span_id string, "
+        "lang_name string, lang_code string, text string",
+    )
+    lm = build_lm_ngrams(
+        spark.createDataFrame(list(texts.items()), ["lang", "text"]),
+        char_n=3, word_n=1, morph_n=2)
+    inst = build_instances(
+        spark, lines, table, odin_lm=lm,
+        common_table={"quenya": ["qya"], "valdese": ["vld"]})
+    return (
+        inst.select(F.explode(
+            F.map_keys(F.map_filter("feats", lambda _, v: v))
+        ).alias("feature"))
+        .groupBy("feature")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+QUERIES["classify_feature_flags"] = _classify_feature_flags
+
+ORACLE_SQL["classify_feature_flags"] = """
+SELECT * FROM (VALUES
+  ('GL-C-name<2', CAST(4 AS BIGINT)),
+  ('GL-C-name<3', CAST(4 AS BIGINT)),
+  ('GL-C-name<4', CAST(4 AS BIGINT)),
+  ('GL-C-name<5', CAST(4 AS BIGINT)),
+  ('GL-C-name<6', CAST(6 AS BIGINT)),
+  ('GL-C-name<7', CAST(8 AS BIGINT)),
+  ('GL-C-name<8', CAST(8 AS BIGINT)),
+  ('GL-C-name<9', CAST(8 AS BIGINT)),
+  ('GL-first-lines', CAST(12 AS BIGINT)),
+  ('GL-first-lines&langs<10', CAST(12 AS BIGINT)),
+  ('GL-first-lines&langs<15', CAST(12 AS BIGINT)),
+  ('GL-first-lines&langs<20', CAST(12 AS BIGINT)),
+  ('GL-first-lines&langs<40', CAST(12 AS BIGINT)),
+  ('GL-first-lines&langs<5', CAST(12 AS BIGINT)),
+  ('GL-last-lines', CAST(12 AS BIGINT)),
+  ('GL-last-lines&langs<10', CAST(12 AS BIGINT)),
+  ('GL-last-lines&langs<15', CAST(12 AS BIGINT)),
+  ('GL-last-lines&langs<20', CAST(12 AS BIGINT)),
+  ('GL-last-lines&langs<40', CAST(12 AS BIGINT)),
+  ('GL-last-lines&langs<5', CAST(12 AS BIGINT)),
+  ('GL-most-frequent', CAST(12 AS BIGINT)),
+  ('GL-most-frequent&langs<10', CAST(12 AS BIGINT)),
+  ('GL-most-frequent&langs<15', CAST(12 AS BIGINT)),
+  ('GL-most-frequent&langs<20', CAST(12 AS BIGINT)),
+  ('GL-most-frequent&langs<40', CAST(12 AS BIGINT)),
+  ('GL-most-frequent&langs<5', CAST(12 AS BIGINT)),
+  ('GL-most-frequent-code', CAST(4 AS BIGINT)),
+  ('GL-multi-word-name', CAST(4 AS BIGINT)),
+  ('GL-possible-english-word', CAST(4 AS BIGINT)),
+  ('GL-short-lang-name', CAST(4 AS BIGINT)),
+  ('L-LMc>0.1', CAST(4 AS BIGINT)),
+  ('L-LMc>0.2', CAST(4 AS BIGINT)),
+  ('L-LMc>0.3', CAST(4 AS BIGINT)),
+  ('L-LMc>0.4', CAST(4 AS BIGINT)),
+  ('L-LMc>0.5', CAST(4 AS BIGINT)),
+  ('L-LMc>0.6', CAST(4 AS BIGINT)),
+  ('L-LMc>0.7', CAST(4 AS BIGINT)),
+  ('L-LMc>0.8', CAST(4 AS BIGINT)),
+  ('L-LMc>0.9', CAST(4 AS BIGINT)),
+  ('L-LMc>1.0', CAST(4 AS BIGINT)),
+  ('L-LMm>0.1', CAST(4 AS BIGINT)),
+  ('L-LMm>0.2', CAST(4 AS BIGINT)),
+  ('L-LMm>0.3', CAST(4 AS BIGINT)),
+  ('L-LMm>0.4', CAST(4 AS BIGINT)),
+  ('L-LMm>0.5', CAST(4 AS BIGINT)),
+  ('L-LMm>0.6', CAST(4 AS BIGINT)),
+  ('L-LMm>0.7', CAST(4 AS BIGINT)),
+  ('L-LMm>0.8', CAST(4 AS BIGINT)),
+  ('L-LMm>0.9', CAST(4 AS BIGINT)),
+  ('L-LMm>1.0', CAST(4 AS BIGINT)),
+  ('L-LMw>0.1', CAST(4 AS BIGINT)),
+  ('L-LMw>0.2', CAST(4 AS BIGINT)),
+  ('L-LMw>0.3', CAST(4 AS BIGINT)),
+  ('L-LMw>0.4', CAST(4 AS BIGINT)),
+  ('L-LMw>0.5', CAST(4 AS BIGINT)),
+  ('L-LMw>0.6', CAST(4 AS BIGINT)),
+  ('L-LMw>0.7', CAST(4 AS BIGINT)),
+  ('L-LMw>0.8', CAST(4 AS BIGINT)),
+  ('L-LMw>0.9', CAST(4 AS BIGINT)),
+  ('L-LMw>1.0', CAST(4 AS BIGINT)),
+  ('W-close', CAST(12 AS BIGINT)),
+  ('W-closest', CAST(12 AS BIGINT)),
+  ('W-prev', CAST(12 AS BIGINT))
+) AS t(feature, n)
+"""
+
 
 # deterministic: 9 crafted docs (3 per language), every span's winner is
 # the gold pair → 3 spans per prediction, all correct
