@@ -261,6 +261,7 @@ def classify_documents(
     lang_table: dict[str, list[str]],
     model=None,
     return_model: bool = False,
+    select_k: int | None = None,
     **feature_kwargs,
 ):
     """Full classify: returns one row per (doc_id, span_id, L-lineno)
@@ -271,7 +272,7 @@ def classify_documents(
     callers can save it without retraining (jobs/run_classify.py)."""
     inst = build_instances(spark, lines, lang_table, **feature_kwargs).persist()
     try:
-        mdl = model if model is not None else train(inst)
+        mdl = model if model is not None else train(inst, select_k=select_k)
         best = best_candidates(score(inst, mdl))
         out = best.select(
             "doc_id", "span_id", "lineno",

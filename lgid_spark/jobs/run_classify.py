@@ -10,6 +10,11 @@ Usage:
         --output /path/labelled
         [--model /path/model]           load instead of train
         [--save-model /path/model]
+        [--odin-lm /path/lm.parquet]    L-LM* threshold features
+        [--crubadan-index idx.csv --crubadan-base /dir]  L-CR-LM* features
+        [--common-table codes.txt]      GL-most-frequent-code feature
+        [--select-k 4096]               chi² feature selection (M2)
+        [--freki-out /dir]              annotated .freki files (S8)
 
 Trains on the input's gold labels when no --model is given (the
 reference's train-then-classify smoke), writes labelled lines
@@ -30,6 +35,19 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", required=True)
     ap.add_argument("--model", default=None)
     ap.add_argument("--save-model", default=None)
+    ap.add_argument("--odin-lm", default=None,
+                    help="LM parquet (lang_code, gram_type, ngram) → "
+                         "L-LM* threshold features")
+    ap.add_argument("--crubadan-index", default=None,
+                    help="Crúbadán directory-index CSV → L-CR-LM* features")
+    ap.add_argument("--crubadan-base", default=None,
+                    help="base dir of extracted Crúbadán archives")
+    ap.add_argument("--common-table", default=None,
+                    help="most-common-codes table → GL-most-frequent-code")
+    ap.add_argument("--select-k", type=int, default=None,
+                    help="chi² feature selection before LR (M2)")
+    ap.add_argument("--freki-out", default=None,
+                    help="also write annotated .freki files here (S8)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -70,15 +88,36 @@ def main(argv: list[str] | None = None) -> int:
 
         model = LogisticRegressionModel.load(args.model)
 
+    feature_kwargs = {}
+    if args.odin_lm:
+        feature_kwargs["odin_lm"] = spark.read.parquet(args.odin_lm)
+    if args.crubadan_index and args.crubadan_base:
+        from lgid_spark.sources.crubadan import read_crubadan_lm, read_dir_index
+
+        feature_kwargs["crubadan_lm"] = read_crubadan_lm(
+            spark, read_dir_index(spark, args.crubadan_index),
+            args.crubadan_base)
+    if args.common_table:
+        from lgid_spark.sources.freki import read_language_table
+
+        feature_kwargs["common_table"] = read_language_table(args.common_table)
+
     # return_model=True hands back the model classify_documents already
     # trained/used — training happens exactly once, and the saved model
     # is the one that produced the written predictions
     best, used_model = classify_documents(
-        spark, lines, table, model=model, return_model=True)
+        spark, lines, table, model=model, return_model=True,
+        select_k=args.select_k, **feature_kwargs)
     best.persist()
     n_spans = best.count()
     n_right = best.where("label").count()
     write_labelled_lines(lines, best, args.output)
+    if args.freki_out:
+        if "raw_head" not in lines.columns:
+            raise SystemExit("--freki-out requires .freki input")
+        from lgid_spark.sinks.freki_sink import write_labelled_freki
+
+        write_labelled_freki(lines, best, args.freki_out)
     if args.save_model:
         used_model.write().overwrite().save(args.save_model)
     best.unpersist()

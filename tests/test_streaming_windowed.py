@@ -1,0 +1,37 @@
+"""Watermark + event-time windowed aggregation (SURVEY §2.10): the same
+DAG runs in batch (watermark no-op → all windows) and as an append-mode
+stream (only watermark-finalized windows emit, exactly once)."""
+
+from __future__ import annotations
+
+from lgid_spark.datagen import spark_web_pages
+from lgid_spark.streaming.windowed import (
+    stream_windowed_lang_counts,
+    windowed_lang_counts,
+)
+
+
+def test_stream_matches_batch_on_finalized_windows(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark_web_pages(spark, 300).write.mode("append").parquet(inp)
+
+    batch = {
+        (r.win_start, r.lang_pred): (r.n_docs, r.n_kept, r.mean_ppl)
+        for r in windowed_lang_counts(
+            spark.read.parquet(inp)).collect()
+    }
+    assert len(batch) > 50  # timestamps spread over 30 days
+
+    stream_windowed_lang_counts(spark, inp, out, ckpt)
+    got = spark.read.parquet(out).collect()
+    assert len(got) > 0
+    # append mode emits only finalized windows — every emitted row must
+    # equal the batch computation for that window exactly
+    for r in got:
+        assert batch[(r.win_start, r.lang_pred)] == (
+            r.n_docs, r.n_kept, r.mean_ppl)
+    # with a 30-min watermark over 30 days of data, nearly every window
+    # finalizes — only windows within the watermark of max event time hold
+    assert len(got) >= len(batch) - 10
