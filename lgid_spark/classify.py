@@ -273,12 +273,17 @@ def classify_documents(
     inst = build_instances(spark, lines, lang_table, **feature_kwargs).persist()
     try:
         mdl = model if model is not None else train(inst, select_k=select_k)
-        best = best_candidates(score(inst, mdl))
-        out = best.select(
+        out = best_candidates(score(inst, mdl)).select(
             "doc_id", "span_id", "lineno",
             "lang_name", "lang_code", "prediction",
             "p_true", "norm_prob", "signed_prob", "label",
         )
+        # materialize the (small: one row per L-line) result while the
+        # instance cache is still alive — otherwise every downstream
+        # action (counts, parquet sink, freki sink) re-derives the whole
+        # evidence-join DAG after the finally-unpersist
+        out = out.persist()
+        out.count()
         return (out, mdl) if return_model else out
     finally:
         inst.unpersist()

@@ -50,10 +50,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="also write annotated .freki files here (S8)")
     args = ap.parse_args(argv)
 
-    from pyspark.sql import SparkSession
+    from lgid_spark.session import get_submit_spark
 
-    spark = SparkSession.builder.appName("lgid_classify").getOrCreate()
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark = get_submit_spark("lgid_classify")
 
     from lgid_spark.classify import classify_documents, write_labelled_lines
 

@@ -32,11 +32,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--buckets", type=int, default=64)
     args = ap.parse_args(argv)
 
-    from pyspark.sql import SparkSession
+    from lgid_spark.session import get_submit_spark
 
     # under spark-submit the session/master comes from the launcher
-    spark = SparkSession.builder.appName("lgid_filter").getOrCreate()
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark = get_submit_spark("lgid_filter")
 
     from lgid_spark.datagen import spark_web_pages
     from lgid_spark.lineage import run_incremental

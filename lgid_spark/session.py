@@ -59,6 +59,39 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def get_submit_spark(app_name: str) -> SparkSession:
+    """Session factory for the spark-submit entrypoints (jobs/).
+
+    Under spark-submit the JVM already exists (PythonRunner exports
+    PYSPARK_GATEWAY_PORT) and the launcher owns master/memory — attach
+    and fill only the launcher-unset SQL defaults. Run as plain
+    `python job.py`, the JVM hasn't started yet, so build it with the
+    full engine defaults — critically spark.driver.memory=8g, which is
+    inert after JVM launch (a bare getOrCreate gives a 1 GB driver that
+    OOMs on a real corpus)."""
+    if os.environ.get("PYSPARK_GATEWAY_PORT"):
+        spark = SparkSession.builder.appName(app_name).getOrCreate()
+        apply_engine_defaults(spark)
+        return spark
+    return get_spark(app_name)
+
+
+def apply_engine_defaults(spark: SparkSession) -> None:
+    """For spark-submit entrypoints: the session comes from the launcher
+    (getOrCreate), so apply the engine's runtime-settable SQL defaults
+    only where the launcher did NOT set them explicitly (--conf keys show
+    up in SparkConf; Spark's own built-in defaults do not). Without this,
+    a bare local run inherits shuffle.partitions=200 and every tiny
+    evidence join schedules 200 tasks — ~5× wall-clock on small inputs."""
+    launcher = spark.sparkContext.getConf()
+    for k, v in _DEFAULTS.items():
+        if k.startswith("spark.sql.") and not launcher.contains(k):
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass  # non-runtime-settable under this deployment
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Load the driver-provided parquet tables under ``sf_dir`` and register
     them as temp views. Returns name → DataFrame."""
