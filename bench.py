@@ -41,6 +41,9 @@ HEADLINE = [
     "lm_char_trigrams",
     "value_percentiles",
     "emb_near_dup_pairs",
+    "lm_match_ratio_stats",
+    "word_int_index",
+    "mention_recall",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("BENCH_PIPELINE_DOCS", "960000"))

@@ -314,6 +314,49 @@ WHERE ROUND({_DOT_AB} / (a.nrm * b.nrm), 6) >= {_COS_MIN}
 
 
 # ---------------------------------------------------------------------------
+# dup_components — near-dup PAIRS → dup GROUPS: connected components by
+# iterative min-label propagation (operators/components.py), the stage a
+# 100-TB dedup runs between LSH candidate generation and canonical-doc
+# selection. Oracle: DuckDB recursive CTE (transitive closure + min).
+# ---------------------------------------------------------------------------
+
+@_q("dup_components")
+def dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    pairs = emb_near_dup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    comp = connected_components(pairs, "vec_a", "vec_b")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("group_size"))
+    return comp.join(sizes, "component").select(
+        F.col("vertex").alias("vec_id"), "component", "group_size")
+
+
+def _dup_components_sql() -> str:
+    near_dup = ORACLE_SQL["emb_near_dup_pairs"]
+    return f"""
+WITH RECURSIVE pairs AS ({near_dup}),
+sym AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION
+  SELECT vec_b AS a, vec_a AS b FROM pairs
+),
+reach(v, u) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT r.v, s.b FROM reach r JOIN sym s ON r.u = s.a
+),
+comp AS (SELECT v AS vec_id, MIN(u) AS component FROM reach GROUP BY v)
+SELECT c.vec_id, c.component, g.sz AS group_size
+FROM comp c
+JOIN (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component) g
+  USING (component)
+"""
+
+
+ORACLE_SQL["dup_components"] = _dup_components_sql()
+
+
+# ---------------------------------------------------------------------------
 # value_percentiles — exact continuous percentiles (Spark `percentile` ↔
 # DuckDB quantile_cont) per event type.
 # ---------------------------------------------------------------------------
