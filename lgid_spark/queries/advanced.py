@@ -393,6 +393,66 @@ def _classify_feature_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["classify_feature_flags"] = _classify_feature_flags
 
+
+def _crubadan_feature_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 → L-CR-LM* end-to-end: synthesize the REAL Crúbadán layout on
+    disk, read it through the dir-index source, and histogram the
+    resulting L-CR-LM threshold flags from build_instances."""
+    import os
+    import tempfile
+
+    from ..classify import build_instances
+    from ..sources.crubadan import (
+        read_crubadan_lm,
+        read_dir_index,
+        write_synthetic_crubadan,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "lgid_crubadan_fixture_v1")
+    index_path = write_synthetic_crubadan(base, {
+        "qya": ["lorem", "ipsum", "dolor"],
+        "vld": ["zyx", "wvu", "tsr"],
+    })
+    lm = read_crubadan_lm(spark, read_dir_index(spark, index_path), base)
+    table = {"quenya": ["qya"], "valdese": ["vld"]}
+    rows = []
+    for d in range(4):
+        doc = f"doc{d}"
+        code = ["qya", "vld"][d % 2]
+        name = {"qya": "quenya", "vld": "valdese"}[code]
+        text = {"qya": "lorem ipsum dolor", "vld": "zyx wvu tsr"}[code]
+        rows += [
+            (doc, 1, "O", None, None, None, f"about the {name} language"),
+            (doc, 2, "L", "s1", name, code, text),
+        ]
+    lines = spark.createDataFrame(
+        rows,
+        "doc_id string, lineno int, tag string, span_id string, "
+        "lang_name string, lang_code string, text string",
+    )
+    inst = build_instances(spark, lines, table, crubadan_lm=lm)
+    return (
+        inst.select(F.explode(
+            F.map_keys(F.map_filter("feats", lambda _, v: v))
+        ).alias("feature"))
+        .where(F.col("feature").startswith("L-CR"))
+        .groupBy("feature")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+QUERIES["crubadan_feature_flags"] = _crubadan_feature_flags
+
+# deterministic: every L-line IS its language's Crúbadán training text,
+# so both CR families hit ratio 1.0 → all 10 cumulative flags × 4 docs
+ORACLE_SQL["crubadan_feature_flags"] = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('L-CR-LM{g}>{k / 10:.1f}', CAST(4 AS BIGINT))"
+        for g in ("c", "w") for k in range(1, 11))
+    + ") AS t(feature, n)"
+)
+
 ORACLE_SQL["classify_feature_flags"] = """
 SELECT * FROM (VALUES
   ('GL-C-name<2', CAST(4 AS BIGINT)),
