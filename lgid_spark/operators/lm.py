@@ -21,15 +21,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _gram_positions(count, n: int):
+    """Start positions [1 .. count-n+1] as an array column, EMPTY when
+    the input is too short. NB: F.sequence(1, 0) is a DESCENDING [1, 0]
+    in Spark, so an unguarded `sequence(1, greatest(size-n+1, 0))`
+    crashes element_at under ANSI on inputs shorter than n — hit on
+    real-corpus single-word lines."""
+    return F.when(
+        count >= n, F.sequence(F.lit(1), count - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+
+
 def char_ngrams_col(text, n: int):
     """Array of padded char n-grams over each word (pure SQL — stays in
-    whole-stage codegen; no Python)."""
+    whole-stage codegen; no Python). A word shorter than n-2 emits its
+    single short gram, like the reference's rangemax clamp
+    (analyzers.py:300-302)."""
     words = F.filter(F.split(F.trim(text), r"(?U)\s+"), lambda w: w != F.lit(""))
     grams_per_word = F.transform(
         words,
         lambda w: F.transform(
             F.sequence(F.lit(1), F.greatest(
-                F.length(w) + 2 - n + 1, F.lit(0))),
+                F.length(w) + 2 - n + 1, F.lit(1))),
             lambda i: F.concat(F.lit(" "), w, F.lit(" ")).substr(i, F.lit(n)),
         ),
     )
@@ -39,7 +52,7 @@ def char_ngrams_col(text, n: int):
 def word_ngrams_col(text, n: int):
     words = F.filter(F.split(F.trim(text), r"(?U)\s+"), lambda w: w != F.lit(""))
     return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - n + 1, F.lit(0))),
+        _gram_positions(F.size(words), n),
         lambda i: F.concat_ws(
             " ", *[F.element_at(words, i + k) for k in range(n)]),
     )
@@ -49,7 +62,7 @@ def morph_ngrams_col(text, n: int):
     morphs = F.filter(
         F.split(F.trim(text), r"[\s\-=+]+"), lambda w: w != F.lit(""))
     return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(morphs) - n + 1, F.lit(0))),
+        _gram_positions(F.size(morphs), n),
         lambda i: F.concat_ws(
             " ", *[F.element_at(morphs, i + k) for k in range(n)]),
     )

@@ -67,3 +67,23 @@ def test_lm_build_and_match(spark, tmp_path):
               lm_match_ratio(probe, back, "text", "lang").collect()}
     assert ratios["aaa"] == 1.0
     assert ratios["bbb"] < 0.5  # wrong language ⇒ few grams match
+
+
+def test_ngrams_short_inputs_no_crash(spark):
+    """Regression: F.sequence(1, 0) is DESCENDING in Spark, so unguarded
+    gram-position sequences made element_at throw under ANSI on lines
+    with fewer words than n — hit on real-corpus single-word lines."""
+    from lgid_spark.operators.lm import build_lm_ngrams
+
+    corpus = spark.createDataFrame(
+        [("aaa", "one"), ("aaa", ""), ("aaa", "  "), ("bbb", "two words")],
+        ["lang", "text"],
+    )
+    lm = build_lm_ngrams(corpus, char_n=3, word_n=2, morph_n=2)
+    rows = {(r.lang_code, r.gram_type, r.ngram) for r in lm.collect()}
+    # single-word / empty lines: no word or morph bigrams, chars fine
+    assert ("aaa", "word", "one") not in rows
+    assert not any(lang == "aaa" and g in ("word", "morph")
+                   for (lang, g, _) in rows)
+    assert ("aaa", "char", " on") in rows
+    assert ("bbb", "word", "two words") in rows

@@ -63,6 +63,30 @@ def test_range_join_is_hash_not_nested_loop(spark):
     assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_build_instances_no_cartesian(spark):
+    """The evidence stage is ~15 joins — every one must stay an equi/
+    broadcast hash join; a drifted join condition that degrades to a
+    nested loop would still return correct rows, just 100× slower."""
+    from lgid_spark.classify import build_instances
+    from lgid_spark.fixtures import LANG_TABLE
+    from lgid_spark.operators.lm import build_lm_ngrams
+
+    lines = spark.createDataFrame(
+        [("d0", 1, "O", None, None, None, "about quenya"),
+         ("d0", 2, "L", "s1", "quenya", "qya", "ex am ple")],
+        "doc_id string, lineno int, tag string, span_id string, "
+        "lang_name string, lang_code string, text string",
+    )
+    lm = build_lm_ngrams(
+        spark.createDataFrame([("qya", "ex am ple")], ["lang", "text"]),
+        char_n=3, word_n=1, morph_n=2)
+    plan = _plan(build_instances(
+        spark, lines, LANG_TABLE, odin_lm=lm,
+        common_table={"quenya": ["qya"]}))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_emb_near_dup_no_cartesian(spark):
     from lgid_spark.queries.coverage import emb_near_dup_pairs
 
