@@ -84,6 +84,83 @@ def extract_media_features(media: DataFrame, strict: bool = False) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def resize_media(media: DataFrame, width: int, height: int,
+                 strict: bool = False) -> DataFrame:
+    """Resize stub with REAL plumbing: mapInPandas binary→binary, output
+    schema carries the target dims, payload size scales with the target
+    pixel count (deterministic bytes derived from the source payload —
+    a real deployment plugs Pillow's resize here; strict raises)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        n_bytes = max(8, (width * height) // 64)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if strict:
+                    raise NotImplementedError(
+                        "media codecs not available; plug Pillow resize")
+                seed = bytes(r.payload) + struct.pack(">II", width, height)
+                out = b""
+                k = 0
+                while len(out) < n_bytes:
+                    out += hashlib.md5(seed + bytes([k % 256])).digest()
+                    k += 1
+                rows.append((int(r.media_id), r.kind, width, height,
+                             out[:n_bytes]))
+            yield pd.DataFrame(rows, columns=RESIZED_SCHEMA.fieldNames())
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("ts_ms", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000,
+                  strict: bool = False) -> DataFrame:
+    """Frame sampling for video rows: ONE input row fans out to N frame
+    rows (the batch shape that matters at scale — Arrow output batches
+    are larger than input batches, and downstream ops see a frame-grain
+    table partitioned like its parent media). Frame count comes from the
+    row's `duration_ms` metadata; payload decode is the honest stub."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "video":
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "video codecs not available; plug ffmpeg here")
+                duration = int((r.meta or {}).get("duration_ms", "0"))
+                payload = bytes(r.payload)
+                for idx, ts in enumerate(range(0, duration, every_ms)):
+                    frame = hashlib.md5(
+                        payload + struct.pack(">I", ts)).digest()
+                    rows.append((int(r.media_id), idx, ts, frame))
+            yield pd.DataFrame(rows, columns=FRAME_SCHEMA.fieldNames())
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def synthetic_media(spark, n: int) -> DataFrame:
     """Deterministic fake media table (payload = seeded bytes)."""
     def gen(batches: Iterator) -> Iterator:
@@ -95,7 +172,10 @@ def synthetic_media(spark, n: int) -> DataFrame:
                 i = int(i)
                 payload = hashlib.md5(f"media|{i}".encode()).digest() * (4 + i % 8)
                 kind = ["image", "audio", "video"][i % 3]
-                rows.append((i, kind, payload, {"src": f"s{i % 5}"}))
+                meta = {"src": f"s{i % 5}"}
+                if kind == "video":
+                    meta["duration_ms"] = str(1000 * (2 + i % 5))
+                rows.append((i, kind, payload, meta))
             yield pd.DataFrame(rows, columns=MEDIA_SCHEMA.fieldNames())
 
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)

@@ -234,6 +234,34 @@ def _media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["media_feature_stats"] = _media_feature_stats
 
+
+def _frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out (one media row → N frame rows) over
+    the deterministic media fixture; per-duration frame counts."""
+    from ..operators.multimodal import sample_frames
+
+    frames = sample_frames(synthetic_media(spark, 300), every_ms=1000)
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.max("ts_ms").alias("last_ts_ms"),
+    ).groupBy("n_frames", "last_ts_ms").agg(
+        F.count("*").alias("n_videos"))
+
+
+QUERIES["frame_sample_stats"] = _frame_sample_stats
+
+# deterministic: videos are media ids ≡ 2 (mod 3); duration_ms =
+# 1000*(2 + id%5) → frame counts 2..6 at 1 s sampling, 20 videos each
+ORACLE_SQL["frame_sample_stats"] = """
+SELECT * FROM (VALUES
+  (CAST(2 AS BIGINT), 1000, CAST(20 AS BIGINT)),
+  (CAST(3 AS BIGINT), 2000, CAST(20 AS BIGINT)),
+  (CAST(4 AS BIGINT), 3000, CAST(20 AS BIGINT)),
+  (CAST(5 AS BIGINT), 4000, CAST(20 AS BIGINT)),
+  (CAST(6 AS BIGINT), 5000, CAST(20 AS BIGINT))
+) AS t(n_frames, last_ts_ms, n_videos)
+"""
+
 ORACLE_SQL["media_feature_stats"] = """
 SELECT * FROM (VALUES
   ('video', CAST(100 AS BIGINT), CAST(44.52 AS DOUBLE), CAST(0.5195 AS DOUBLE)),

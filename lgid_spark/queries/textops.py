@@ -67,6 +67,44 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# bpe_token_stats — GPT-2-style pre-tokenizer counting: contractions,
+# space-prefixed letter/digit runs, punctuation runs. Token counting the
+# way a training-data pipeline budgets documents (≈ tiktoken's
+# pre-tokenization, minus the byte-level BPE merges which need a learned
+# vocab). Same regex runs in Java (Spark) and RE2 (DuckDB): \p{L}/\p{N}
+# are Unicode categories in both, \s is ASCII in both.
+# ---------------------------------------------------------------------------
+
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+@_q("bpe_token_stats")
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        (
+            F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w))
+            .cast("double") / F.greatest(F.size(toks), F.lit(1))
+        ).alias("mean_tok_len"),
+    )
+
+
+_BPE_SQL = _BPE_RE.replace("'", "''")
+ORACLE_SQL["bpe_token_stats"] = f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS n_bpe_tokens,
+  CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_SQL}'))) AS BIGINT) AS n_distinct,
+  CAST(list_sum(list_transform(regexp_extract_all(text, '{_BPE_SQL}'), w -> length(w))) AS DOUBLE)
+    / greatest(len(regexp_extract_all(text, '{_BPE_SQL}')), 1) AS mean_tok_len
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # char_trigram_counts — F1 character n-grams → A5 n-gram counting
 # (analyzers.py:285-310 + buildlms.py:98-124), top-20 deterministic.
 # ---------------------------------------------------------------------------

@@ -87,3 +87,43 @@ def test_ngrams_short_inputs_no_crash(spark):
                    for (lang, g, _) in rows)
     assert ("aaa", "char", " on") in rows
     assert ("bbb", "word", "two words") in rows
+
+
+def test_resize_and_frame_sample(spark):
+    from lgid_spark.operators.multimodal import (
+        resize_media,
+        sample_frames,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 30)
+    resized = resize_media(media, 32, 24)
+    rows = resized.collect()
+    assert len(rows) == 30
+    assert all(r.width == 32 and r.height == 24 for r in rows)
+    assert all(len(r.payload) == (32 * 24) // 64 for r in rows)
+    # deterministic: same input → same resized bytes
+    again = {r.media_id: bytes(r.payload)
+             for r in resize_media(media, 32, 24).collect()}
+    assert all(bytes(r.payload) == again[r.media_id] for r in rows)
+
+    frames = sample_frames(media, every_ms=1000).collect()
+    by_media = {}
+    for f in frames:
+        by_media.setdefault(f.media_id, []).append(f)
+    # only video rows (id % 3 == 2) fan out; duration 1000*(2+id%5)
+    assert set(by_media) == {i for i in range(30) if i % 3 == 2}
+    for mid, fs in by_media.items():
+        assert len(fs) == 2 + mid % 5
+        assert sorted(f.ts_ms for f in fs) == [
+            1000 * k for k in range(len(fs))]
+        assert all(len(bytes(f.frame)) == 16 for f in fs)
+
+
+def test_resize_strict_raises(spark):
+    import pytest
+
+    from lgid_spark.operators.multimodal import resize_media, synthetic_media
+
+    with pytest.raises(Exception):
+        resize_media(synthetic_media(spark, 3), 8, 8, strict=True).collect()
