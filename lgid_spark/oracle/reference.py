@@ -261,8 +261,14 @@ SCRUB_CHAIN: list[tuple[re.Pattern, str]] = [
 
 
 def scrub_text(text: str) -> str:
-    for pat, repl in SCRUB_CHAIN:
-        text = pat.sub(repl, text)
+    # '@' pre-check: EMAIL_RE can only match texts containing '@', and
+    # the memchr containment test is ~free vs a full regex scan (most
+    # web docs have no email). Output identical to the unguarded chain.
+    if "@" in text:
+        text = EMAIL_RE.sub("<EMAIL>", text)
+    text = SSN_RE.sub("<SSN>", text)
+    text = PHONE_RE.sub("<PHONE>", text)
+    text = TOXIC_RE.sub("<TOX>", text)
     return text
 
 
@@ -315,7 +321,7 @@ def process_batch(texts, model: "LangIDModel") -> list[dict]:
         n_sym = sum(text.count(c) for c in _SYMBOL_LIST)
         symbol_word_ratio = n_sym / n_words if n_words else 0.0
         stops = _STOPSETS.get(lang_pred, _EMPTY_STOPSET)
-        n_stop = sum(1 for nw in normed if nw in stops)
+        n_stop = sum(map(stops.__contains__, normed))  # C-speed membership
         stopword_ratio = n_stop / n_words if n_words else 0.0
         if n_words >= 3:
             trigrams = set(zip(words, words[1:], words[2:]))
