@@ -48,6 +48,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="chi² feature selection before LR (M2)")
     ap.add_argument("--freki-out", default=None,
                     help="also write annotated .freki files here (S8)")
+    ap.add_argument("--mistakes", default=None,
+                    help="write the (real, predicted) mistake histogram "
+                         "CSV here (S10, main.py:393-415)")
     args = ap.parse_args(argv)
 
     from lgid_spark.session import get_submit_spark
@@ -117,6 +120,27 @@ def main(argv: list[str] | None = None) -> int:
         from lgid_spark.sinks.freki_sink import write_labelled_freki
 
         write_labelled_freki(lines, best, args.freki_out)
+    if args.mistakes:
+        from pyspark.sql import functions as F
+
+        gold = lines.where(
+            F.col("span_id").isNotNull() & F.col("tag").contains("L")
+            & F.col("lang_name").isNotNull()
+        ).select(
+            "doc_id", "span_id", "lineno",
+            F.concat_ws(
+                "-", F.lower("lang_name"), "lang_code").alias("real_pair"),
+        )
+        mistakes = (
+            best.join(gold, ["doc_id", "span_id", "lineno"])
+            .where(F.col("real_pair") != F.col("prediction"))
+            .groupBy(F.col("real_pair").alias("real"),
+                     F.col("prediction").alias("predicted"))
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("real"), F.asc("predicted"))
+        )
+        mistakes.coalesce(1).write.mode("overwrite").option(
+            "header", "true").csv(args.mistakes)
     if args.save_model:
         used_model.write().overwrite().save(args.save_model)
     best.unpersist()
