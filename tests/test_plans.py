@@ -87,6 +87,19 @@ def test_build_instances_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_word_index_window_is_partitioned(spark):
+    """Dense-id assignment must NOT run one global single-partition
+    row_number: the heavy ranking is hash-partitioned on the prefix
+    bucket; only the tiny per-bucket count frame goes SinglePartition."""
+    from lgid_spark.queries.advanced import QUERIES
+
+    plan = _plan(QUERIES["word_int_index"](spark, SF))
+    rn = plan.index("row_number()")
+    # the exchange feeding the row_number window is a hash partitioning
+    feeding = plan[rn:].split("Exchange", 2)[1]
+    assert "hashpartitioning(_bkt" in feeding
+
+
 def test_emb_near_dup_no_cartesian(spark):
     from lgid_spark.queries.coverage import emb_near_dup_pairs
 
