@@ -254,11 +254,22 @@ def main() -> None:
     docs_per_sec = round(PIPELINE_DOCS / pipe_sec, 1)
     queries["filter_pipeline"] = round(pipe_sec, 3)
 
+    # r1 comparability: r1's "value" summed 19 queries + a 60k-doc
+    # pipeline pass; r2 benches 3 more queries and the 960k-doc pipeline.
+    # `queries_only_total_r1_set` recomputes the r1 composition (same 19
+    # queries, pipeline excluded) so round-over-round deltas are
+    # apples-to-apples; `filter_docs_per_sec` is the steady-state
+    # pipeline headline either way.
+    r1_set_total = round(
+        sum(v for k, v in queries.items()
+            if k not in ("filter_pipeline", "lm_match_ratio_stats",
+                         "word_int_index", "mention_recall")), 3)
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        "queries_only_total_r1_set": r1_set_total,
         "sf": sf,
         "cpus": cpus,
         "cold_pass_sec": cold_total,
