@@ -1,0 +1,50 @@
+"""Streaming exact dedup (SURVEY §2.10 × dedup family): a training-data
+ingest must not emit the same url twice even when the duplicate arrives
+in a later micro-batch.
+
+`dropDuplicates` on a stream keeps per-key state across micro-batches
+(exactly-once across restarts via the checkpoint, same as
+incremental.py). Watermark tradeoff, measured here: adding a watermark
+bounds the state store BUT also drops genuinely-new rows whose event
+time lags the advancing watermark — correct for a live stream, WRONG for
+a crawl backfill where old-timestamped pages arrive forever. So the
+default is key-state-only dedup (state ∝ unique urls); pass `watermark`
+for live-stream semantics. At 10^12 scale the backfill path bounds state
+by deduping per url-hash bucket partition instead (the batch exact_dedup
+on compaction)."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .incremental import WEB_PAGES_DDL
+
+
+def stream_dedup_pages(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str | None = None,
+    timeout_sec: int = 300,
+) -> None:
+    """readStream(web_pages) → dropDuplicates(url) → append parquet.
+    Each drain processes only new files (AvailableNow) and duplicates
+    are suppressed ACROSS drains via the state store."""
+    stream = (
+        spark.readStream.schema(WEB_PAGES_DDL)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+    if watermark is not None:
+        stream = stream.withWatermark("warc_ts", watermark)
+    deduped = stream.dropDuplicates(["url"])
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

@@ -35,3 +35,27 @@ def test_stream_matches_batch_on_finalized_windows(spark, tmp_path):
     # with a 30-min watermark over 30 days of data, nearly every window
     # finalizes — only windows within the watermark of max event time hold
     assert len(got) >= len(batch) - 10
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """dropDuplicates state survives across drains: a url re-delivered
+    in a later micro-batch (within the watermark) is NOT emitted again."""
+    from lgid_spark.streaming.dedup import stream_dedup_pages
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages = spark_web_pages(spark, 100)
+    pages.write.mode("append").parquet(inp)
+    stream_dedup_pages(spark, inp, out, ckpt)
+    assert spark.read.parquet(out).count() == 100
+
+    # second drain: 50 exact duplicates + the deterministic generator's
+    # first 130 docs (urls 0-99 duplicate the first drain; 30 are new)
+    pages.limit(50).write.mode("append").parquet(inp)
+    spark_web_pages(spark, 130).write.mode("append").parquet(inp)
+    stream_dedup_pages(spark, inp, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.select("url").distinct().count() == got.count()  # no dupes
+    assert got.count() == 130  # 100 originals + 30 genuinely new
