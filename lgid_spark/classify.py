@@ -270,6 +270,10 @@ def classify_documents(
     (the reference's train-then-classify smoke, README.md:91-101).
     `return_model=True` additionally returns the trained/used model so
     callers can save it without retraining (jobs/run_classify.py)."""
+    # the evidence stage scans `lines` ~8 times (spans, doc bounds,
+    # L-lines, per-tag in-line joins) — cache it for the build, released
+    # once the small result is materialized
+    lines = lines.persist()
     inst = build_instances(spark, lines, lang_table, **feature_kwargs).persist()
     try:
         mdl = model if model is not None else train(inst, select_k=select_k)
@@ -287,6 +291,7 @@ def classify_documents(
         return (out, mdl) if return_model else out
     finally:
         inst.unpersist()
+        lines.unpersist()
 
 
 def write_labelled_lines(

@@ -51,6 +51,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--mistakes", default=None,
                     help="write the (real, predicted) mistake histogram "
                          "CSV here (S10, main.py:393-415)")
+    ap.add_argument("--cv", type=int, default=None, metavar="K",
+                    help="additionally run K-fold cross-validation on the "
+                         "instances (the reference's n-fold test, "
+                         "main.py:188-233) and report per-fold accuracy")
     args = ap.parse_args(argv)
 
     from lgid_spark.session import get_submit_spark
@@ -144,11 +148,18 @@ def main(argv: list[str] | None = None) -> int:
     if args.save_model:
         used_model.write().overwrite().save(args.save_model)
     best.unpersist()
-    print(json.dumps({
+    summary = {
         "n_spans": n_spans,
         "n_correct_vs_gold": n_right,
         "output": args.output,
-    }))
+    }
+    if args.cv:
+        from lgid_spark.classify import build_instances
+        from lgid_spark.operators.classifier import cross_validate
+
+        inst = build_instances(spark, lines, table, **feature_kwargs)
+        summary["cv"] = cross_validate(inst, k=args.cv)
+    print(json.dumps(summary))
     return 0
 
 
