@@ -157,6 +157,119 @@ FROM assigned WHERE rk = 1 GROUP BY centroid_id
 """
 
 
+# ---------------------------------------------------------------------------
+# ivf_topk — the actual IVF SEARCH (ivf_assign is the build stage):
+# probes visit only their N_PROBE_CELLS nearest centroids' cells and rank
+# exact cosine inside them. At 100 TB this is the ANN shape: the
+# cross-join is probes × centroids (tiny), and the candidate join is an
+# equi-join on centroid_id — never probes × corpus.
+# ---------------------------------------------------------------------------
+
+N_PROBE_CELLS = 2
+
+
+def _assignments(emb, cents):
+    """(vec_id, centroid_id, rk) — rank of each centroid per vector by
+    L2 distance, deterministic fold + tie on centroid_id."""
+    pairs = emb.crossJoin(F.broadcast(cents))
+    dist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (
+            F.element_at(F.col("embedding"), i).cast("double")
+            - F.element_at(F.col("cvec"), i).cast("double")
+        )
+        ** 2,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
+    return (
+        pairs.withColumn("d2", F.round(dist, 6))
+        .withColumn("rk", F.row_number().over(w))
+    )
+
+
+@_q("ivf_topk")
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    # cell membership: each vector lives in its nearest centroid's cell
+    cells = _assignments(emb, cents).where(F.col("rk") == 1).select(
+        "vec_id", "centroid_id")
+    members = cells.join(
+        emb.select("vec_id", F.col("embedding").alias("m_emb")), "vec_id"
+    ).select(F.col("vec_id").alias("member_id"), "centroid_id", "m_emb")
+    # probes visit their N_PROBE_CELLS nearest cells
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb"))
+    visited = _assignments(
+        probes.select(F.col("probe_id").alias("vec_id"),
+                      F.col("p_emb").alias("embedding")), cents
+    ).where(F.col("rk") <= N_PROBE_CELLS).select(
+        F.col("vec_id").alias("probe_id"), "centroid_id")
+    cand = (
+        visited.join(members, "centroid_id")
+        .join(probes, "probe_id")
+        .where(F.col("member_id") != F.col("probe_id"))
+    )
+    cos = _dot(F.col("m_emb"), F.col("p_emb")) / (
+        F.sqrt(_dot(F.col("m_emb"), F.col("m_emb")))
+        * F.sqrt(_dot(F.col("p_emb"), F.col("p_emb"))))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("member_id"))
+    return (
+        cand.withColumn("cos_sim", F.round(cos, 6))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("probe_id", "rk",
+                F.col("member_id").alias("neighbor_id"), "cos_sim")
+    )
+
+
+_D2P_SQL = (
+    f"list_sum(list_transform(generate_series(1, {DIM}), "
+    "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)) "
+    "* (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))))"
+)
+
+ORACLE_SQL["ivf_topk"] = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings WHERE vec_id < {N_CENTROIDS}
+), ranks AS (
+  SELECT e.vec_id, c.centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ROUND({_D2P_SQL}, 6) ASC,
+                                     c.centroid_id ASC) AS rk
+  FROM embeddings e CROSS JOIN cents c
+), cells AS (
+  SELECT vec_id AS member_id, centroid_id FROM ranks WHERE rk = 1
+), visited AS (
+  SELECT vec_id AS probe_id, centroid_id FROM ranks
+  WHERE rk <= {N_PROBE_CELLS} AND vec_id < {N_PROBES}
+), cand AS (
+  SELECT v.probe_id, m.member_id,
+    ROUND(
+      {_DOT_SQL.format(dim=DIM, a='me.embedding', b='pe.embedding')}
+      / ({_norm_sql('me.embedding')} * {_norm_sql('pe.embedding')}), 6)
+      AS cos_sim
+  FROM visited v
+  JOIN cells m USING (centroid_id)
+  JOIN embeddings me ON me.vec_id = m.member_id
+  JOIN embeddings pe ON pe.vec_id = v.probe_id
+  WHERE m.member_id <> v.probe_id
+)
+SELECT probe_id, rk, neighbor_id, cos_sim FROM (
+  SELECT probe_id, member_id AS neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY cos_sim DESC, member_id ASC) AS rk
+  FROM cand
+) WHERE rk <= {TOP_K}
+"""
+
+
 N_PLANES = 8
 
 
