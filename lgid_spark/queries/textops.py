@@ -268,6 +268,100 @@ FROM stacked GROUP BY band_idx, band_hash HAVING COUNT(*) > 1
 
 
 # ---------------------------------------------------------------------------
+# simhash_near_pairs — SimHash's actual dedup use: candidate pairs share
+# one of the two 16-bit signature halves (pigeonhole: any pair within
+# hamming ≤ 1 per half shares a half; the standard banding trade), then
+# exact hamming via bit_count(xor) ≤ threshold. Equi-join on the band —
+# never all-pairs. NB the OUTPUT is data-dependent: this synthetic corpus
+# is dup-saturated (small shared lexicons), so true near-pairs — and
+# hence rows — grow quadratically with sf; at scale the bounded product
+# is dup_components/dedup_keep_list over these pairs, not the pair list.
+# ---------------------------------------------------------------------------
+
+_HAMMING_MAX = 3
+_SH_BITS = 32  # 16 bits (the fingerprint demo above) can't discriminate
+               # docs sharing a small lexicon; the pairs path uses 32
+
+
+def _simhash32(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    wd = docs.select(
+        "doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("w")
+    ).withColumn(
+        "wh", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("wh"), b).bitwiseAND(F.lit(1)) == 1,
+                   1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(_SH_BITS)
+    ]
+    agg = wd.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(_SH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("bigint").alias("simhash32"))
+
+
+@_q("simhash_near_pairs")
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _simhash32(spark, sf_dir)
+    bands = sh.select(
+        "doc_id", "simhash32",
+        F.posexplode(F.array(
+            F.col("simhash32").bitwiseAND(F.lit(0xFFFF)),
+            F.shiftright("simhash32", 16).bitwiseAND(F.lit(0xFFFF)),
+        )).alias("band_idx", "band_val"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"),
+                     F.col("simhash32").alias("sim_a"),
+                     "band_idx", "band_val")
+    b = bands.select(F.col("doc_id").alias("doc_b"),
+                     F.col("simhash32").alias("sim_b"),
+                     "band_idx", "band_val")
+    ham = F.bit_count(
+        F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= _HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()  # a pair may share both halves
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (wh >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(_SH_BITS))
+    sim = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(_SH_BITS))
+    return f"""
+WITH wd AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS wh
+  FROM (SELECT doc_id, unnest(list_distinct({_WORDS_SQL})) AS w FROM documents)
+), bits AS (
+  SELECT doc_id, {bit_sums} FROM wd GROUP BY doc_id
+), sh AS (
+  SELECT doc_id, CAST({sim} AS BIGINT) AS simhash32 FROM bits
+), bands AS (
+  SELECT doc_id, simhash32, j AS band_idx,
+         (simhash32 >> (16 * j)) & 65535 AS band_val
+  FROM sh, unnest([0, 1]) u(j)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash32, b.simhash32)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash32, b.simhash32)) <= {_HAMMING_MAX}
+"""
+
+
+# ---------------------------------------------------------------------------
 # jaccard_similar_pairs — n-gram Jaccard near-dup: self-join on shared
 # word-trigram shingles (frequency-capped), jaccard >= 0.05.
 # ---------------------------------------------------------------------------
@@ -399,6 +493,10 @@ SELECT doc_id,
   CAST({' + '.join(f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))} AS BIGINT) AS simhash16
 FROM bits
 """
+
+# registered here: the pairs oracle embeds ORACLE_SQL["simhash"], which
+# is only defined at this point in the module
+ORACLE_SQL["simhash_near_pairs"] = _simhash_pairs_sql()
 
 
 # ---------------------------------------------------------------------------
