@@ -262,6 +262,7 @@ def classify_documents(
     model=None,
     return_model: bool = False,
     select_k: int | None = None,
+    num_features: int | None = None,
     **feature_kwargs,
 ):
     """Full classify: returns one row per (doc_id, span_id, L-lineno)
@@ -276,8 +277,12 @@ def classify_documents(
     lines = lines.persist()
     inst = build_instances(spark, lines, lang_table, **feature_kwargs).persist()
     try:
-        mdl = model if model is not None else train(inst, select_k=select_k)
-        out = best_candidates(score(inst, mdl)).select(
+        from .operators.classifier import N_FEATURES
+
+        nf = N_FEATURES if num_features is None else num_features
+        mdl = model if model is not None else train(
+            inst, select_k=select_k, num_features=nf)
+        out = best_candidates(score(inst, mdl, nf)).select(
             "doc_id", "span_id", "lineno",
             "lang_name", "lang_code", "prediction",
             "p_true", "norm_prob", "signed_prob", "label",

@@ -32,28 +32,32 @@ N_FEATURES = 1 << 18
 GROUP = ["doc_id", "span_id", "lineno"]
 
 
-def vectorize(instances: DataFrame) -> DataFrame:
+def vectorize(instances: DataFrame,
+              num_features: int = N_FEATURES) -> DataFrame:
     """map<string,boolean> feats → sparse vector of hashed active keys.
-    (Sparse boolean dict ≡ bag of active feature names.)"""
+    (Sparse boolean dict ≡ bag of active feature names.)
+    `num_features` sizes the hash space; small fixtures can use a small
+    width so LBFGS doesn't aggregate 2^18-dim vectors per iteration."""
     active = F.sort_array(
         F.map_keys(F.map_filter("feats", lambda _, v: v))
     )
     df = instances.withColumn("active_feats", active)
     tf = HashingTF(
         inputCol="active_feats", outputCol="features",
-        numFeatures=N_FEATURES, binary=True,
+        numFeatures=num_features, binary=True,
     )
     return tf.transform(df)
 
 
-def train(instances: DataFrame, select_k: int | None = None):
+def train(instances: DataFrame, select_k: int | None = None,
+          num_features: int = N_FEATURES):
     """M3 LR fit; with select_k, M2 chi² feature selection first
     (models.py:80-107 SelectKBest(chi2, k) → UnivariateFeatureSelector
     with categorical feature+label = chi-squared scoring). Returns a
     LogisticRegressionModel, or a PipelineModel [selector, LR] whose
     .transform chains selection into scoring — both serialize through
     spark.ml save/load (M6)."""
-    vec = vectorize(instances).withColumn(
+    vec = vectorize(instances, num_features).withColumn(
         "label_d", F.col("label").cast("double"))
 
     def _lr(features_col: str) -> LogisticRegression:
@@ -79,12 +83,18 @@ def train(instances: DataFrame, select_k: int | None = None):
     return Pipeline(stages=[sel, _lr("selected")]).fit(vec)
 
 
-def score(instances: DataFrame, model) -> DataFrame:
+def score(instances: DataFrame, model,
+          num_features: int | None = None) -> DataFrame:
     """Add p_true = P(label=True | feats) per candidate row. `model` is
-    a LogisticRegressionModel or a [selector, LR] PipelineModel."""
+    a LogisticRegressionModel or a [selector, LR] PipelineModel. The
+    hash width must match training: inferred from a plain LR model,
+    passed explicitly for selector pipelines trained at non-default
+    width."""
     from pyspark.ml.functions import vector_to_array
 
-    vec = vectorize(instances)
+    if num_features is None:
+        num_features = getattr(model, "numFeatures", None) or N_FEATURES
+    vec = vectorize(instances, num_features)
     out = model.transform(vec)
     p_true = F.element_at(vector_to_array(F.col("probability")), 2)
     return out.withColumn("p_true", p_true).drop(
@@ -133,7 +143,8 @@ def with_folds(instances: DataFrame, k: int = 5) -> DataFrame:
         "fold", F.pmod(F.xxhash64("doc_id"), F.lit(k)).cast("int"))
 
 
-def cross_validate(instances: DataFrame, k: int = 5) -> list[dict]:
+def cross_validate(instances: DataFrame, k: int = 5,
+                   num_features: int = N_FEATURES) -> list[dict]:
     """Per-fold train/test accuracy on the group-argmax prediction
     (accuracy = fraction of groups whose winning candidate has
     label=True — main.py:374-423 'right' counting)."""
@@ -145,8 +156,8 @@ def cross_validate(instances: DataFrame, k: int = 5) -> list[dict]:
             test_df = folded.where(F.col("fold") == fold)
             if test_df.limit(1).count() == 0:
                 continue
-            model = train(train_df)
-            best = best_candidates(score(test_df, model))
+            model = train(train_df, num_features=num_features)
+            best = best_candidates(score(test_df, model, num_features))
             agg = best.agg(
                 F.count("*").alias("n"),
                 F.sum(F.col("label").cast("long")).alias("right"),

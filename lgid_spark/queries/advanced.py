@@ -288,7 +288,9 @@ def _classifier_cv_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id string, span_id string, lineno int, lang_name string, "
         "lang_code string, label boolean, feats map<string,boolean>",
     )
-    res = cross_validate(inst, k=3)
+    # small hash width: 7 feature names don't need the 2^18 production
+    # space, and LBFGS aggregates per-iteration vectors of this size
+    res = cross_validate(inst, k=3, num_features=1024)
     return spark.createDataFrame(
         [(r["fold"], r["n_groups"], float(r["accuracy"])) for r in res],
         "fold int, n_groups long, accuracy double",
@@ -366,7 +368,7 @@ def _classify_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id string, lineno int, tag string, span_id string, "
         "lang_name string, lang_code string, text string",
     )
-    best = classify_documents(spark, lines, LANG_TABLE)
+    best = classify_documents(spark, lines, LANG_TABLE, num_features=4096)
     return best.groupBy("prediction").agg(
         F.count("*").alias("n_spans"),
         F.sum(F.col("label").cast("long")).alias("n_correct"),
