@@ -87,6 +87,26 @@ def test_build_instances_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ann_and_simhash_pairs_no_cartesian(spark):
+    """Candidate generation must stay equi-join (bands / cells), never
+    an all-pairs product: ivf_topk's only cross-join is probes×centroids
+    (tiny broadcast), simhash pairs join on the banded signature half."""
+    from lgid_spark.queries.similarity import ivf_topk
+    from lgid_spark.queries.textops import simhash_near_pairs
+
+    plan = _plan(simhash_near_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    plan = _plan(ivf_topk(spark, SF))
+    # the vectors×centroids fan-outs are DELIBERATE broadcast nested
+    # loops over the 4-row centroid dim (bounded ×N_CENTROIDS, the same
+    # shape as knn_bruteforce's probe broadcast); what must NOT appear
+    # is an unbroadcast cartesian — i.e. member×probe pairing must ride
+    # the centroid_id equi-join
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # the two centroid fan-outs
+
+
 def test_word_index_window_is_partitioned(spark):
     """Dense-id assignment must NOT run one global single-partition
     row_number: the heavy ranking is hash-partitioned on the prefix
