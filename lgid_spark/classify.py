@@ -98,6 +98,9 @@ def build_instances(
     """
     if eng_words is None:
         eng_words = ENGLISH_WORD_LANG_NAMES
+    # drop zero-line-block placeholder rows (sources/freki.py keeps them
+    # for the byte-stable sink; they are not lines)
+    lines = lines.where(F.col("lineno").isNotNull())
     mentions = extract_mentions(
         spark, lines.select("doc_id", "lineno", "text"), lang_table
     ).persist()  # feeds ~14 feature branches; tiny vs lines

@@ -86,17 +86,27 @@ def freki_doc_text(lines: DataFrame) -> DataFrame:
     def assemble(pdf):
         import pandas as pd
 
-        pdf = pdf.sort_values("lineno")
+        # file order: `ordinal` when the parser provided it (it places
+        # zero-line blocks correctly), else lineno
+        if "ordinal" in pdf.columns and pdf["ordinal"].notna().all():
+            pdf = pdf.sort_values("ordinal")
+        else:
+            pdf = pdf.sort_values("lineno")
         blocks: list[list[str]] = []
         cur_header = None
         for row in pdf.itertuples(index=False):
             head = row.raw_head
-            if has_pred and isinstance(row.pred_lang_name, str):
-                head = _set_lang_attrs(
-                    head, row.pred_lang_name, row.pred_lang_code)
             if row.block_header != cur_header:
                 cur_header = row.block_header
                 blocks.append([row.block_header])
+            if head is None or (isinstance(head, float)):
+                # zero-line block placeholder: the corpus convention
+                # (16.freki block 9-3) renders header + one empty line
+                blocks[-1].append("")
+                continue
+            if has_pred and isinstance(row.pred_lang_name, str):
+                head = _set_lang_attrs(
+                    head, row.pred_lang_name, row.pred_lang_code)
             blocks[-1].append(f"{head}:{row.text}")
         text = "\n\n".join("\n".join(b) for b in blocks)
         return pd.DataFrame(

@@ -36,9 +36,14 @@ FREKI_SCHEMA = T.StructType([
     T.StructField("fonts", T.StringType()),
     T.StructField("text", T.StringType()),
     # lossless round-trip fields (S8 freki sink): the verbatim pre-colon
-    # attribute section of the line and the verbatim block-header line
+    # attribute section of the line and the verbatim block-header line;
+    # `ordinal` is the row's file order (blocks with ZERO lines — they
+    # exist, e.g. sample/input/16.freki block 9-3 "ttrt 0 0" — emit one
+    # placeholder row with raw_head NULL so the serializer can replay
+    # them in position)
     T.StructField("raw_head", T.StringType()),
     T.StructField("block_header", T.StringType()),
+    T.StructField("ordinal", T.IntegerType()),
 ])
 
 
@@ -59,16 +64,34 @@ def parse_freki(content: str) -> list[tuple]:
     """One Freki file → rows of FREKI_SCHEMA."""
     rows: list[tuple] = []
     doc_id = page = block_id = label = header = None
+    ordinal = 0
+    block_emitted = True  # no pending header yet
+
+    def flush_empty_block() -> None:
+        # a header whose block produced no line rows still occupies a
+        # position in the file — emit a placeholder (raw_head NULL,
+        # empty text) so the sink can replay it; harmless downstream
+        # (no span_id, no tag, empty text ⇒ no mentions/grams)
+        nonlocal ordinal
+        rows.append((
+            doc_id, page, block_id, label, None, None, None, None, None,
+            None, "", None, header, ordinal,
+        ))
+        ordinal += 1
+
     for raw in content.split("\n"):
         if not raw.strip():
             continue
         if raw.startswith("doc_id="):
+            if not block_emitted:
+                flush_empty_block()
             # block header: trailing "START END" linenos have no '='
             attrs = _parse_attrs(raw)
             doc_id = attrs.get("doc_id", "").split(" ")[0]
             block_id = attrs.get("block_id")
             label = attrs.get("label", "").split(" ")[0]
             header = raw
+            block_emitted = False
             try:
                 page = int(attrs.get("page", "0"))
             except ValueError:
@@ -91,7 +114,12 @@ def parse_freki(content: str) -> list[tuple]:
                 text,
                 head,
                 header,
+                ordinal,
             ))
+            ordinal += 1
+            block_emitted = True
+    if header is not None and not block_emitted:
+        flush_empty_block()
     return rows
 
 

@@ -33,6 +33,22 @@ def test_roundtrip_byte_stable(spark, tmp_path):
     assert back == original
 
 
+@pytest.mark.skipif(not os.path.exists(SAMPLE), reason="reference sample absent")
+def test_roundtrip_entire_sample_corpus(spark):
+    """EVERY reference sample file must serialize back byte-for-byte —
+    including 16.freki, whose page-9 block has ZERO lines (`ttrt 0 0`)
+    and only survives via the parser's placeholder rows."""
+    files = sorted(glob.glob("/root/reference/sample/input/*.freki"))
+    lines = read_freki(spark, "/root/reference/sample/input/*.freki")
+    out = {r.doc_id: r.freki_text for r in freki_doc_text(lines).collect()}
+    mismatched = [
+        f for f in files
+        if out[os.path.basename(f)[:-len(".freki")]]
+        != open(f, encoding="utf-8").read()
+    ]
+    assert mismatched == [] and len(files) == 99
+
+
 FREKI_DOC = """doc_id=d1 page=1 block_id=1-1 bbox=0,0,1,1 label=b 1 4
 line=1 tag=O fonts=F0-10.0    :intro text about quenya
 line=2 tag=L span_id=s1 lang_name=quenya lang_code=qya:ex am ple
