@@ -219,18 +219,21 @@ def _cpu_frequency_ceiling(lo: int, hi: int) -> float:
         vals = [float(p.communicate()[0]) for p in ps]
         return statistics.median(vals)
 
-    # estimator choice (measured): the lo wave runs on exactly the cores
-    # the preceding hi wave heated, inflating ~25% in some reps — take
-    # the MIN of the lo-wave medians (the uncontaminated reading) against
-    # the MEDIAN of the hi-wave medians (the steady 32-busy state)
+    # estimator choice (measured over ~20 sessions): residual heat from
+    # earlier waves lands on the 8 cores the lo wave uses, so
+    # contamination biases per-rep ratios UP toward 1.0 (a slow lo
+    # inflates, and the hi wave saturates everything regardless); the
+    # MIN of rep-level ratios is the reading least contaminated on the
+    # lo side. Reps pair lo and hi back-to-back so each ratio compares
+    # like machine states.
     time.sleep(5)  # let turbo/thermal state settle after the pipeline
-    lo_meds, hi_meds = [], []
-    for _ in range(3):
-        lo_meds.append(run(lo))
+    ratios = []
+    for _ in range(5):
+        t_lo = run(lo)
+        t_hi = run(hi)
+        ratios.append(t_lo / t_hi)
         time.sleep(3)
-        hi_meds.append(run(hi))
-        time.sleep(3)
-    return min(min(lo_meds) / statistics.median(hi_meds), 1.0)
+    return min(min(ratios), 1.0)
 
 
 def main() -> None:
@@ -285,15 +288,19 @@ def main() -> None:
         _materialize_pages(spark, sc_docs)  # generate once at full width
         spark.stop()
         lo, hi = 8, 32
-        # settle pauses: a count measured immediately after the other
-        # count's run reads the box mid-thermal-recovery and comes out
-        # 25-50% slow; the frequency-ceiling probe (median of 3, clamped)
-        # runs in the SAME machine state right after, so raw efficiency
-        # and the ceiling it is normalized by stay coherent
-        time.sleep(10)
+        # thermal bracketing: a run measured right after another heavy
+        # run reads 15-50% slow. The 32-core measurement is taken TWICE
+        # (immediately after the main bench, and again after the 8-core
+        # run during which 24 cores idled) and the min wins; the
+        # frequency-ceiling probe (median of 3, clamped) runs in the
+        # same machine state right after, keeping raw efficiency and the
+        # ceiling it is normalized by coherent
+        time.sleep(20)
         t_hi = _pinned_pipeline_run(hi, sc_docs, reps=3)
         time.sleep(10)
         t_lo = _pinned_pipeline_run(lo, sc_docs, reps=3)
+        time.sleep(10)
+        t_hi = min(t_hi, _pinned_pipeline_run(hi, sc_docs, reps=3))
         eff = (t_lo / t_hi) / (hi / lo)
         ceiling = _cpu_frequency_ceiling(lo, hi)
         result["scaling"] = {
