@@ -268,6 +268,99 @@ FROM stacked GROUP BY band_idx, band_hash HAVING COUNT(*) > 1
 
 
 # ---------------------------------------------------------------------------
+# minhash_jaccard_pairs — the MinHash→LSH→verify composition (the text
+# twin of emb_near_dup_pairs): candidate pairs come from shared LSH
+# bands (equi-join on band hash — never all-pairs), the exact
+# distinct-word Jaccard is computed ONLY for candidates, and pairs at
+# jaccard ≥ 0.5 survive. Banding recall at the threshold is the standard
+# LSH trade (2 bands × 2 hashes ⇒ ~44% at jac=0.5, →1 as jac→1);
+# candidates, not exhaustiveness, are the semantics.
+# ---------------------------------------------------------------------------
+
+_MJ_MIN = 0.9
+
+
+@_q("minhash_jaccard_pairs")
+def minhash_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("w"))
+    sig = w.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"s{k}|"), F.col("w")))).alias(f"h{k}")
+        for k in range(4)
+    ])
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(
+            F.md5(F.concat_ws("|", "h0", "h1")),
+            F.md5(F.concat_ws("|", "h2", "h3")),
+        )).alias("band_idx", "band_hash"),
+    )
+    cand = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+        .join(bands.select(F.col("doc_id").alias("doc_b"),
+                           "band_idx", "band_hash"),
+              ["band_idx", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = w.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    wa = w.select(F.col("doc_id").alias("doc_a"), "w")
+    wb = w.select(F.col("doc_id").alias("doc_b"), "w")
+    inter = (
+        cand.join(wa, "doc_a").join(wb, ["doc_b", "w"])
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn("jaccard", F.round(
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .where(F.col("jaccard") >= _MJ_MIN)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+ORACLE_SQL["minhash_jaccard_pairs"] = f"""
+WITH w AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct({_WORDS_SQL})) AS w
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+    {', '.join(f"MIN(md5('s{k}|' || w)) AS h{k}" for k in range(4))}
+  FROM w GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_hash FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_idx, md5(h2 || '|' || h3) AS band_hash FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM w GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN w wa ON wa.doc_id = c.doc_a
+  JOIN w wb ON wb.doc_id = c.doc_b AND wb.w = wa.w
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= {_MJ_MIN}
+"""
+
+
+# ---------------------------------------------------------------------------
 # simhash_near_pairs — SimHash's actual dedup use: candidate pairs share
 # one of the two 16-bit signature halves (pigeonhole: any pair within
 # hamming ≤ 1 per half shares a half; the standard banding trade), then
