@@ -66,14 +66,14 @@ def _flag(df: DataFrame, keys: list[str], col: str) -> DataFrame:
     return df.select(*keys, F.lit(True).alias(col))
 
 
-def _pivot_ratios(ratios: DataFrame, families: list[str]) -> DataFrame:
-    piv = (
-        ratios.groupBy("doc_id", "span_id", "lineno", "code")
-        .pivot("family", families)
-        .agg(F.first("ratio"))
-    )
+def _pivot_ratios(
+    ratios: DataFrame, families: list[str], keys: list[str] | None = None
+) -> DataFrame:
+    keys = keys or ["doc_id", "span_id", "lineno", "code"]
+    piv = ratios.groupBy(*keys).pivot("family", families).agg(
+        F.first("ratio"))
     return piv.select(
-        "doc_id", "span_id", "lineno", "code",
+        *keys,
         *[F.col(f"`{fam}`").alias(_RATIO_ALIAS[fam]) for fam in families],
     )
 
@@ -86,6 +86,7 @@ def build_instances(
     crubadan_lm: DataFrame | None = None,
     common_table: dict[str, list[str]] | None = None,
     eng_words: list[str] | None = None,
+    name_keyed_lms: bool = False,
 ) -> DataFrame:
     """lines(doc_id, lineno, tag, span_id, lang_name, lang_code, text)
     → instances (FIXTURES.md §7 schema, grain = L-line × candidate).
@@ -160,20 +161,31 @@ def build_instances(
         inst = inst.join(f, _DN, "left")
     inst = inst.join(lin, _DSL, "left").join(num_langs, "doc_id", "left")
 
-    cand_codes = mentions.select("doc_id", "code").distinct()
+    # LM keying: name_keyed_lms=True reproduces the reference's shipped
+    # `code-only-odin-lms = no` (util.py:81-86) — per-(name, code) LMs,
+    # so two names sharing a code get distinct flags; default keys by
+    # code only (the `yes` mode; see lm_line_match_ratios docstring).
+    cand_sel = ["doc_id", "name", "code"] if name_keyed_lms else [
+        "doc_id", "code"]
+    lm_join_keys = (["doc_id", "span_id", "lineno", "name", "code"]
+                    if name_keyed_lms
+                    else ["doc_id", "span_id", "lineno", "code"])
+    cand_codes = mentions.select(*cand_sel).distinct()
     ratio_cols: list[str] = []
     if odin_lm is not None:
         piv = _pivot_ratios(
-            lm_line_match_ratios(l_lines, cand_codes, odin_lm, ODIN_FAMILIES),
-            ODIN_FAMILIES)
-        inst = inst.join(piv, ["doc_id", "span_id", "lineno", "code"], "left")
+            lm_line_match_ratios(l_lines, cand_codes, odin_lm,
+                                 ODIN_FAMILIES, name_keyed=name_keyed_lms),
+            ODIN_FAMILIES, keys=lm_join_keys)
+        inst = inst.join(piv, lm_join_keys, "left")
         ratio_cols += ODIN_FAMILIES
     if crubadan_lm is not None:
         piv = _pivot_ratios(
             lm_line_match_ratios(
-                l_lines, cand_codes, crubadan_lm, CRUBADAN_FAMILIES),
-            CRUBADAN_FAMILIES)
-        inst = inst.join(piv, ["doc_id", "span_id", "lineno", "code"], "left")
+                l_lines, cand_codes, crubadan_lm,
+                CRUBADAN_FAMILIES, name_keyed=name_keyed_lms),
+            CRUBADAN_FAMILIES, keys=lm_join_keys)
+        inst = inst.join(piv, lm_join_keys, "left")
         ratio_cols += CRUBADAN_FAMILIES
 
     if common_table:
@@ -306,17 +318,18 @@ def write_labelled_lines(
     lines: DataFrame, predictions: DataFrame, path: str
 ) -> None:
     """S8 sink (write_to_files, main.py:242-277): annotate span lines
-    with the predicted language and write partitioned by doc bucket."""
-    # predictions are per L-line; annotate the whole span with its first
-    # L-line's winner (deterministic: struct-min orders by lineno first)
-    pred = predictions.groupBy("doc_id", "span_id").agg(
-        F.min(F.struct("lineno", "lang_name", "lang_code")).alias("s")
-    ).select(
-        "doc_id", "span_id",
-        F.col("s.lang_name").alias("pred_lang_name"),
-        F.col("s.lang_code").alias("pred_lang_code"),
-    )
-    out = lines.join(pred, ["doc_id", "span_id"], "left")
+    with the predicted language and write partitioned by doc bucket.
+
+    Annotation semantics are shared with the freki sink
+    (sinks/freki_sink.annotate_lines): each span line carries the
+    prediction of the LATEST L-line at-or-above it (main.py:255-268
+    sequential overwrites), and lines above the first L-line stay
+    unannotated — so the parquet and .freki outputs agree. Names stay
+    raw lowercase here (structured output; the freki sink title-cases
+    for the text rendering)."""
+    from .sinks.freki_sink import annotate_lines
+
+    out = annotate_lines(lines, predictions, titlecase=False)
     out = out.withColumn(
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(16)).cast("int"))
     out.write.mode("overwrite").partitionBy("bucket").parquet(path)

@@ -89,10 +89,11 @@ def main(argv: list[str] | None = None) -> int:
         lines = read_freki(spark, args.input)
 
     model = None
+    num_features = None
     if args.model:
-        from pyspark.ml.classification import LogisticRegressionModel
+        from lgid_spark.operators.classifier import load_model
 
-        model = LogisticRegressionModel.load(args.model)
+        model, num_features = load_model(args.model)
 
     feature_kwargs = {}
     if args.odin_lm:
@@ -113,7 +114,8 @@ def main(argv: list[str] | None = None) -> int:
     # is the one that produced the written predictions
     best, used_model = classify_documents(
         spark, lines, table, model=model, return_model=True,
-        select_k=args.select_k, **feature_kwargs)
+        select_k=args.select_k, num_features=num_features,
+        **feature_kwargs)
     best.persist()
     n_spans = best.count()
     n_right = best.where("label").count()
@@ -146,7 +148,10 @@ def main(argv: list[str] | None = None) -> int:
         mistakes.coalesce(1).write.mode("overwrite").option(
             "header", "true").csv(args.mistakes)
     if args.save_model:
-        used_model.write().overwrite().save(args.save_model)
+        from lgid_spark.operators.classifier import save_model
+
+        save_model(used_model, args.save_model,
+                   num_features=num_features)
     best.unpersist()
     summary = {
         "n_spans": n_spans,

@@ -83,6 +83,52 @@ def train(instances: DataFrame, select_k: int | None = None,
     return Pipeline(stages=[sel, _lr("selected")]).fit(vec)
 
 
+def save_model(model, path: str, num_features: int | None = None) -> None:
+    """M6 serialize + a sidecar recording what spark.ml metadata alone
+    can't reconstruct at load time: the concrete model class (a
+    --select-k artifact is a PipelineModel [selector, LR], not a bare
+    LogisticRegressionModel) and the HashingTF width used at training
+    (a PipelineModel's LR sees post-selection dims, so `numFeatures`
+    is NOT the hash width). Reference analog: models.py:189-203 pickles
+    the whole wrapper, which carries both implicitly."""
+    import json
+    import os
+
+    model.write().overwrite().save(path)
+    meta = {
+        "model_class": type(model).__name__,
+        "num_features": int(num_features or N_FEATURES),
+    }
+    with open(os.path.join(path, "_lgid_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def load_model(path: str):
+    """Counterpart of save_model: returns (model, num_features).
+
+    Reads the sidecar when present; otherwise falls back to trying
+    LogisticRegressionModel then PipelineModel, inferring the hash
+    width from a bare LR's numFeatures (for a sidecar-less pipeline
+    artifact the width defaults to N_FEATURES — the train() default)."""
+    import json
+    import os
+
+    from pyspark.ml import PipelineModel
+
+    meta_path = os.path.join(path, "_lgid_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        cls = (PipelineModel if meta["model_class"] == "PipelineModel"
+               else LogisticRegressionModel)
+        return cls.load(path), int(meta["num_features"])
+    try:
+        model = LogisticRegressionModel.load(path)
+        return model, int(getattr(model, "numFeatures", N_FEATURES))
+    except Exception:
+        return PipelineModel.load(path), N_FEATURES
+
+
 def score(instances: DataFrame, model,
           num_features: int | None = None) -> DataFrame:
     """Add p_true = P(label=True | feats) per candidate row. `model` is

@@ -139,22 +139,39 @@ def lm_line_match_ratios(
     cand_codes: DataFrame,
     lm: DataFrame,
     families: list[str],
+    name_keyed: bool = False,
 ) -> DataFrame:
-    """Per-L-line LM match percent for each candidate code — the core of
+    """Per-L-line LM match percent for each candidate — the core of
     ngram_matching (features.py:300-354): percent = (#grams of the line
     present in the candidate's LM) / (#grams of the line), duplicates
-    counted per occurrence. Divergence from the reference, documented:
-    LMs are keyed by lang_code only (the reference's
-    `code-only-odin-lms = yes` mode, config.ini:41), and morpheme grams
-    carry no empty-string sentinels.
+    counted per occurrence.
+
+    LM keying modes (util.py:81-86 `code-only-odin-lms`):
+      * name_keyed=False (this engine's default): LMs keyed by lang_code
+        only — the reference's `code-only-odin-lms = yes` mode. NOTE the
+        reference's SHIPPED config sets `no` (config.ini:41), so under
+        the reference default two candidate names sharing a code get
+        distinct LMs; in this mode they get identical L-LM*/L-CR-LM*
+        flags. Divergence kept as the engine default because web-scale
+        LMs are per-ISO-code, and documented here.
+      * name_keyed=True (the reference-default semantics): LMs keyed by
+        (lang_name, lang_code) — `lm` must carry a lang_name column and
+        `cand_codes` a name column; names sharing a code score against
+        their own LMs.
+    Morpheme grams carry no empty-string sentinels (both modes).
 
     Args: l_lines(doc_id, span_id, lineno, text);
-          cand_codes(doc_id, code) distinct candidate codes per doc;
-          lm(lang_code, gram_type, ngram[, count]).
-    Returns (doc_id, span_id, lineno, code, family, ratio) — rows only
-    where the line has ≥1 gram (the reference's ZeroDivisionError guard,
-    features.py:347-349, emits no flags for empty lines)."""
+          cand_codes(doc_id[, name], code) distinct candidates per doc;
+          lm([lang_name,] lang_code, gram_type, ngram[, count]).
+    Returns (doc_id, span_id, lineno[, name], code, family, ratio) —
+    rows only where the line has ≥1 gram (the reference's
+    ZeroDivisionError guard, features.py:347-349, emits no flags for
+    empty lines)."""
     keys = ["doc_id", "span_id", "lineno"]
+    cand_keys = ["name", "code"] if name_keyed else ["code"]
+    lm_cols = [F.col("lang_code").alias("code"), "gram_type", "ngram"]
+    if name_keyed:
+        lm_cols.insert(0, F.col("lang_name").alias("name"))
     grams = None
     for fam in families:
         gram_type, expr = LM_FAMILIES[fam]
@@ -170,14 +187,14 @@ def lm_line_match_ratios(
     fanned = grams.join(cand_codes, "doc_id")
     hits = (
         fanned.join(
-            lm.select(F.col("lang_code").alias("code"), "gram_type", "ngram"),
-            ["code", "gram_type", "ngram"], "inner")
-        .groupBy(*keys, "code", "family")
+            lm.select(*lm_cols),
+            cand_keys + ["gram_type", "ngram"], "inner")
+        .groupBy(*keys, *cand_keys, "family")
         .agg(F.count("*").alias("n_hit"))
     )
     base = totals.join(cand_codes, "doc_id")
-    return base.join(hits, keys + ["code", "family"], "left").select(
-        *keys, "code", "family",
+    return base.join(hits, keys + cand_keys + ["family"], "left").select(
+        *keys, *cand_keys, "family",
         (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_total")).alias("ratio"),
     )
 

@@ -38,17 +38,31 @@ _LANG_ATTR_RE = re.compile(
     r"\s*lang_(?:name|code)=\S*(?:\s+(?![^\s=]+=)\S+)*")
 
 
-def annotate_lines(lines: DataFrame, predictions: DataFrame) -> DataFrame:
+@F.pandas_udf(T.StringType())
+def _py_title_udf(s):
+    """Python str.title semantics (main.py:264 `pred[0].title()`):
+    capitalize after ANY non-letter — "ma'anyan" → "Ma'Anyan" — where
+    Spark's initcap capitalizes only after whitespace ("Ma'anyan")."""
+    return s.str.title()
+
+
+def annotate_lines(
+    lines: DataFrame, predictions: DataFrame, titlecase: bool = True
+) -> DataFrame:
     """Attach pred_lang_name/pred_lang_code to span lines.
 
     predictions: (doc_id, span_id, lineno, lang_name, lang_code) — one
     row per L-line (classify_documents output). A span line receives the
     prediction of the latest L-line with pred lineno <= line lineno
-    (write_to_files overwrite order, main.py:255-268)."""
+    (write_to_files overwrite order, main.py:255-268); lines above the
+    first L-line stay unannotated. `titlecase=False` keeps raw
+    lowercase names (the parquet sink's structured output)."""
+    cand_name = (_py_title_udf(F.col("lang_name")) if titlecase
+                 else F.col("lang_name"))
     pred = predictions.select(
         "doc_id", "span_id",
         F.col("lineno").alias("pred_lineno"),
-        F.initcap("lang_name").alias("cand_name"),  # pred[0].title()
+        cand_name.alias("cand_name"),
         F.col("lang_code").alias("cand_code"),
     )
     applicable = (

@@ -4,14 +4,19 @@ in a later micro-batch.
 
 `dropDuplicates` on a stream keeps per-key state across micro-batches
 (exactly-once across restarts via the checkpoint, same as
-incremental.py). Watermark tradeoff, measured here: adding a watermark
-bounds the state store BUT also drops genuinely-new rows whose event
-time lags the advancing watermark — correct for a live stream, WRONG for
-a crawl backfill where old-timestamped pages arrive forever. So the
-default is key-state-only dedup (state ∝ unique urls); pass `watermark`
-for live-stream semantics. At 10^12 scale the backfill path bounds state
-by deduping per url-hash bucket partition instead (the batch exact_dedup
-on compaction)."""
+incremental.py). Watermark tradeoff: with `watermark` set we use
+`dropDuplicatesWithinWatermark(["url"])`, which actually EVICTS url
+state once the watermark passes (a plain watermark + dropDuplicates
+on a non-event-time key never evicts — the watermark would only drop
+late rows while state still grew with unique urls). The bounded state
+comes at a cost: a duplicate url arriving more than `watermark` after
+its first occurrence is re-emitted, and genuinely-new rows whose event
+time lags the advancing watermark are dropped — correct for a live
+stream, WRONG for a crawl backfill where old-timestamped pages arrive
+forever. So the default is key-state-only dedup (state ∝ unique urls);
+pass `watermark` for live-stream semantics. At 10^12 scale the backfill
+path bounds state by deduping per url-hash bucket partition instead
+(the batch exact_dedup on compaction)."""
 
 from __future__ import annotations
 
@@ -37,8 +42,10 @@ def stream_dedup_pages(
         .parquet(input_dir)
     )
     if watermark is not None:
-        stream = stream.withWatermark("warc_ts", watermark)
-    deduped = stream.dropDuplicates(["url"])
+        deduped = stream.withWatermark(
+            "warc_ts", watermark).dropDuplicatesWithinWatermark(["url"])
+    else:
+        deduped = stream.dropDuplicates(["url"])
     q = (
         deduped.writeStream.format("parquet")
         .option("path", output_dir)

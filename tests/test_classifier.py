@@ -132,3 +132,36 @@ def test_cross_validate(spark, instances):
     assert len(results) == 3
     for r in results:
         assert r["accuracy"] == 1.0  # separable everywhere
+
+
+def test_save_load_model_sidecar(spark, instances, tmp_path):
+    """ADVICE r2: a --select-k --save-model artifact is a PipelineModel;
+    save_model/load_model round-trip the concrete class AND the HashingTF
+    width (a pipeline's LR.numFeatures is post-selection, not the hash
+    width), so run_classify --model can reload either kind."""
+    from pyspark.ml import PipelineModel
+
+    from lgid_spark.operators.classifier import load_model, save_model
+
+    # pipeline artifact at a non-default hash width
+    model = train(instances, select_k=4, num_features=1024)
+    path = str(tmp_path / "sidecar_pipe")
+    save_model(model, path, num_features=1024)
+    loaded, nf = load_model(path)
+    assert isinstance(loaded, PipelineModel)
+    assert nf == 1024
+    a = best_candidates(score(instances, model, 1024)).collect()
+    b = best_candidates(score(instances, loaded, nf)).collect()
+    assert sorted((r.doc_id, r.prediction) for r in a) == sorted(
+        (r.doc_id, r.prediction) for r in b)
+
+    # bare LR artifact, sidecar-less load falls back to numFeatures
+    lr = train(instances, num_features=512)
+    path2 = str(tmp_path / "sidecar_lr")
+    lr.write().overwrite().save(path2)
+    loaded2, nf2 = load_model(path2)
+    assert nf2 == 512
+    c = best_candidates(score(instances, loaded2, nf2)).collect()
+    d = best_candidates(score(instances, lr, 512)).collect()
+    assert sorted((r.doc_id, r.prediction) for r in c) == sorted(
+        (r.doc_id, r.prediction) for r in d)

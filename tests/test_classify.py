@@ -166,3 +166,78 @@ def test_classify_needs_lm_features(spark):
     best = classify_documents(spark, lines, table, odin_lm=lm).collect()
     acc = sum(1 for r in best if r.label) / len(best)
     assert acc == 1.0
+
+
+def test_write_labelled_lines_latest_wins(spark, tmp_path):
+    """ADVICE r2: the parquet sink shares the freki sink's annotation
+    semantics (main.py:255-268) — each span line carries the LATEST
+    L-line's prediction at-or-above it; lines above the first L-line
+    stay unannotated; names stay raw lowercase."""
+    rows = [
+        ("d", 1, "M", "s1", None, None, "meta line above first L"),
+        ("d", 2, "L", "s1", "quenya", "qya", "ex am ple"),
+        ("d", 3, "G", "s1", None, None, "gloss"),
+        ("d", 4, "L", "s1", "valdese", "vld", "ot her li ne"),
+        ("d", 5, "T", "s1", None, None, "translation"),
+    ]
+    lines = spark.createDataFrame(rows, LINES_SCHEMA)
+    preds = spark.createDataFrame(
+        [("d", "s1", 2, "quenya", "qya"), ("d", "s1", 4, "valdese", "vld")],
+        "doc_id string, span_id string, lineno int, "
+        "lang_name string, lang_code string",
+    )
+    out = str(tmp_path / "labelled_latest")
+    write_labelled_lines(lines, preds, out)
+    back = {r.lineno: (r.pred_lang_name, r.pred_lang_code)
+            for r in spark.read.parquet(out).collect()}
+    assert back[1] == (None, None)           # above the first L-line
+    assert back[2] == ("quenya", "qya")      # raw lowercase, not Titled
+    assert back[3] == ("quenya", "qya")
+    assert back[4] == ("valdese", "vld")     # latest L-line overwrites
+    assert back[5] == ("valdese", "vld")
+
+
+def test_name_keyed_lms(spark):
+    """ADVICE r2: the reference's shipped config keys ODIN LMs by
+    (name, code) — `code-only-odin-lms = no`, util.py:81-86 — so two
+    candidate names sharing a code get DISTINCT L-LM* flags."""
+    from pyspark.sql import functions as F
+
+    from lgid_spark.operators.lm import build_lm_ngrams
+
+    table = {"quenya": ["qya"], "exilic quenya": ["qya"]}
+    rows = [
+        ("d0", 1, "O", None, None, None,
+         "about quenya and exilic quenya variants"),
+        ("d0", 2, "L", "s1", "quenya", "qya", "ex am ple li ne"),
+    ]
+    lines = spark.createDataFrame(rows, LINES_SCHEMA)
+    # per-(name, code) LMs: only the plain-quenya LM contains the L-line
+    corpus = spark.createDataFrame(
+        [("quenya", "qya", "ex am ple li ne"),
+         ("exilic quenya", "qya", "zz yy xx ww vv")],
+        ["lang_name", "lang", "text"],
+    )
+    # build_lm_ngrams groups by code only, which would collapse the two
+    # names' grams — build on a composite key and split it back out
+    named_lm = build_lm_ngrams(
+        corpus.withColumn("lang", F.concat_ws("|", "lang_name", "lang")),
+        char_n=3, word_n=1, morph_n=2,
+    ).select(
+        F.split("lang_code", r"\|")[0].alias("lang_name"),
+        F.split("lang_code", r"\|")[1].alias("lang_code"),
+        "gram_type", "ngram", "count",
+    )
+
+    inst = build_instances(
+        spark, lines, table, odin_lm=named_lm, name_keyed_lms=True)
+    feats = {r.lang_name: r.feats for r in inst.collect()}
+    assert feats["quenya"]["L-LMw>1.0"]
+    assert not feats["exilic quenya"]["L-LMw>0.1"]
+
+    # code-only mode on the same (collapsed) LM: both names identical
+    flat_lm = named_lm.groupBy("lang_code", "gram_type", "ngram").agg(
+        F.sum("count").alias("count"))
+    inst2 = build_instances(spark, lines, table, odin_lm=flat_lm)
+    feats2 = {r.lang_name: r.feats for r in inst2.collect()}
+    assert feats2["quenya"]["L-LMw>1.0"] == feats2["exilic quenya"]["L-LMw>1.0"]

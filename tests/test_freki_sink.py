@@ -102,3 +102,27 @@ def test_annotate_lines_latest_wins(spark):
     got = {r.lineno: r.pred_lang_name
            for r in annotate_lines(lines, preds).collect()}
     assert got == {1: None, 2: "Quenya", 3: "Quenya"}
+
+
+def test_title_case_python_semantics(spark):
+    """ADVICE r2: pred[0].title() (main.py:264) capitalizes after ANY
+    non-letter — "ma'anyan" → "Ma'Anyan" — which initcap does not."""
+    rows = [
+        ("d", 1, "L", "s1", "ma'anyan", "mhy", "t",
+         "line=1 tag=L span_id=s1 ", "h"),
+    ]
+    lines = spark.createDataFrame(
+        rows,
+        "doc_id string, lineno int, tag string, span_id string, "
+        "lang_name string, lang_code string, text string, "
+        "raw_head string, block_header string",
+    )
+    preds = spark.createDataFrame(
+        [("d", "s1", 1, "ma'anyan", "mhy")],
+        "doc_id string, span_id string, lineno int, "
+        "lang_name string, lang_code string",
+    )
+    got = annotate_lines(lines, preds).collect()[0]
+    assert got.pred_lang_name == "Ma'Anyan" == "ma'anyan".title()
+    raw = annotate_lines(lines, preds, titlecase=False).collect()[0]
+    assert raw.pred_lang_name == "ma'anyan"
