@@ -78,6 +78,72 @@ def _pivot_ratios(
     )
 
 
+def feature_name_list(
+    odin: bool = False,
+    crubadan: bool = False,
+    feature_config: dict[str, bool] | None = None,
+) -> list[str]:
+    """Every feature-name string build_instances can emit, in emission
+    order — the HashingTF-era stand-in for the reference's stored
+    DictVectorizer vocabulary (models.py feat_names()), consumed by the
+    M5 named-weights report. Kept in lockstep with build_instances by
+    tests/test_classifier.py::test_feature_name_list_matches_instances."""
+    names = [
+        "W-prev", "W-close", "W-after", "W-close-after",
+        "W-frequent", "W-frequent-after", "W-closest", "W-closest-after",
+        "W=500&langs>20-frequent", "W=500&langs>20-frequent-after",
+        "W=500&lines>2000-frequent", "W=500&lines>2000-frequent-after",
+        "L-in-line", "G-in-line", "T-in-line", "M-in-line",
+    ]
+    gl_base = ["GL-first-lines", "GL-last-lines", "GL-frequent",
+               "GL-most-frequent"]
+    names += gl_base
+    for fname in gl_base:
+        for i in LANGS_LT:
+            names.append(f"{fname}&langs<{i}")
+    names += [
+        "GL-most-frequent-code", "GL-is-english",
+        "GL-possible-english-word", "GL-short-lang-name",
+        "GL-multi-word-name",
+    ]
+    names += [f"GL-C-name<{i}" for i in range(1, 10)]
+    fams = (ODIN_FAMILIES if odin else []) + (
+        CRUBADAN_FAMILIES if crubadan else [])
+    for fam in fams:
+        names += [f"{fam}>{thr}" for thr in LM_THRESHOLDS]
+    if feature_config:
+        names = [n for n in names if _feature_enabled(n, feature_config)]
+    return names
+
+
+def _lm_flag_entries(families: list[str]) -> list[tuple[str, F.Column]]:
+    """Cumulative LM threshold flags (features.py:349-354) from the
+    pivoted ratio columns — shared by build_instances and the per-fold
+    LM append in strict_cross_validate."""
+    entries: list[tuple[str, F.Column]] = []
+    for fam in families:
+        r = F.col(_RATIO_ALIAS[fam])
+        for thr in LM_THRESHOLDS:
+            entries.append(
+                (f"{fam}>{thr}", F.coalesce(r >= thr, F.lit(False))))
+    return entries
+
+
+def _feature_enabled(fname: str, config: dict[str, bool]) -> bool:
+    """config.ini-[features]-style gate: a feature is governed by the
+    LONGEST config key that equals it or is a base-prefix of it (the
+    next char being a derivation separator &, >, < — so "W-close"
+    does NOT govern "W-closest"). Unmentioned names stay enabled."""
+    best_key = None
+    for key in config:
+        if fname == key or (
+            fname.startswith(key) and fname[len(key)] in "&><"
+        ):
+            if best_key is None or len(key) > len(best_key):
+                best_key = key
+    return True if best_key is None else bool(config[best_key])
+
+
 def build_instances(
     spark: SparkSession,
     lines: DataFrame,
@@ -87,6 +153,7 @@ def build_instances(
     common_table: dict[str, list[str]] | None = None,
     eng_words: list[str] | None = None,
     name_keyed_lms: bool = False,
+    feature_config: dict[str, bool] | None = None,
 ) -> DataFrame:
     """lines(doc_id, lineno, tag, span_id, lang_name, lang_code, text)
     → instances (FIXTURES.md §7 schema, grain = L-line × candidate).
@@ -96,7 +163,15 @@ def build_instances(
     Optional LM tables (lang_code, gram_type, ngram) enable the
     L-LM*/L-CR-LM* cumulative threshold flags (features.py:300-354);
     `common_table` enables GL-most-frequent-code (features.py:357-369).
-    """
+
+    `feature_config` reproduces the reference's config.ini [features]
+    yes/no toggles (features.py branches on config['features'][name]):
+    a map from base feature name (e.g. "W-prev", "GL-first-lines",
+    "L-LMw") to enabled; a toggle also gates its derived crosses
+    ("GL-first-lines&langs<5") and threshold flags ("L-LMw>0.3") —
+    longest matching base wins, names not mentioned stay enabled. This
+    is what makes the reference's published ablations reproducible
+    (e.g. window-only vs +LM)."""
     if eng_words is None:
         eng_words = ENGLISH_WORD_LANG_NAMES
     # drop zero-line-block placeholder rows (sources/freki.py keeps them
@@ -241,11 +316,11 @@ def build_instances(
     # (features.py:385-387)
     for i in range(1, 10):
         feats.append((f"GL-C-name<{i}", F.length(name) <= i))
-    for fam in ratio_cols:  # cumulative LM flags, features.py:349-354
-        r = F.col(_RATIO_ALIAS[fam])
-        for thr in LM_THRESHOLDS:
-            feats.append(
-                (f"{fam}>{thr}", F.coalesce(r >= thr, F.lit(False))))
+    feats += _lm_flag_entries(ratio_cols)
+
+    if feature_config:
+        feats = [(k, v) for k, v in feats
+                 if _feature_enabled(k, feature_config)]
 
     feats_map = F.map_from_arrays(
         F.array(*[F.lit(k) for k, _ in feats]),
@@ -270,6 +345,121 @@ def build_instances(
     return out
 
 
+def strict_cross_validate(
+    spark: SparkSession,
+    lines: DataFrame,
+    lang_table: dict[str, list[str]],
+    k: int = 3,
+    num_features: int = 4096,
+    **feature_kwargs,
+) -> list[dict]:
+    """Leak-free K-fold CV on raw lines: the ODIN-style LM is rebuilt
+    PER FOLD from the train fold's gold L-lines only, so no test-fold
+    text ever reaches the LM the model scores with (stricter than the
+    reference's published setup, which shares corpus-level LM resources
+    across folds — main.py:188-233 only re-fits the LR per fold).
+
+    Folds are deterministic per document (xxhash64(doc_id) % k) so a
+    document never straddles train/test. Any explicitly passed
+    `odin_lm` in feature_kwargs is ignored (it would reintroduce the
+    leak); other feature tables (crubadan_lm, common_table) are
+    corpus-external resources and pass through fold-independent.
+
+    Cost shape: the window/GL evidence does not depend on the LM, so
+    the non-LM instance base is built ONCE and per fold only the LM
+    ratio pivot is recomputed and map_concat'ed onto the feature map —
+    k folds cost k LM builds + k fits, not 2k full instance builds.
+
+    Returns [{fold, n_groups, accuracy}, ...] like cross_validate."""
+    from .operators.classifier import best_candidates, score, train
+    from .operators.lm import build_lm_ngrams, lm_line_match_ratios
+
+    feature_kwargs = dict(feature_kwargs)
+    feature_kwargs.pop("odin_lm", None)
+    lines = lines.where(F.col("lineno").isNotNull()).persist()
+    base = build_instances(
+        spark, lines, lang_table, **feature_kwargs
+    ).withColumn(
+        "_fold", F.pmod(F.xxhash64("doc_id"), F.lit(k)).cast("int")
+    ).persist()
+    base.count()
+    gold_l_all = lines.where(
+        F.col("span_id").isNotNull() & F.col("tag").contains("L")
+        & F.col("lang_code").isNotNull()
+    ).select(
+        "doc_id", "span_id", "lineno", "text",
+        F.col("lang_code").alias("lang"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(k)).cast("int").alias("_fold"),
+    ).persist()
+    # candidate codes per doc (mirrors build_instances' cand_codes)
+    l_keys = gold_l_all.select("doc_id", "span_id", "lineno", "text")
+    cand_codes = base.select(
+        "doc_id", F.col("lang_code").alias("code")).distinct()
+    lm_keys = ["doc_id", "span_id", "lineno", "code"]
+    lm_entries = _lm_flag_entries(ODIN_FAMILIES)
+    lm_map = F.map_from_arrays(
+        F.array(*[F.lit(n) for n, _ in lm_entries]),
+        F.array(*[c for _, c in lm_entries]),
+    )
+    results: list[dict] = []
+    try:
+        for fold in range(k):
+            if base.where(F.col("_fold") == fold).limit(1).count() == 0:
+                continue
+            # reference gram sizes: char 3, word 1, morpheme 2
+            # (config.ini:24-26); LM text = TRAIN-fold L-lines only
+            fold_lm = build_lm_ngrams(
+                gold_l_all.where(F.col("_fold") != fold),
+                char_n=3, word_n=1, morph_n=2)
+            piv = _pivot_ratios(
+                lm_line_match_ratios(
+                    l_keys, cand_codes, fold_lm, ODIN_FAMILIES),
+                ODIN_FAMILIES, keys=lm_keys)
+            inst = base.withColumnRenamed("lang_code", "code").join(
+                piv, lm_keys, "left"
+            ).withColumn(
+                "feats", F.map_concat("feats", lm_map)
+            ).withColumnRenamed("code", "lang_code").persist()
+            model = train(inst.where(F.col("_fold") != fold),
+                          num_features=num_features)
+            best = best_candidates(score(
+                inst.where(F.col("_fold") == fold), model, num_features))
+            agg = best.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("label").cast("long")).alias("n_right"),
+            ).collect()[0]
+            inst.unpersist()
+            results.append({
+                "fold": fold,
+                "n_groups": agg["n"],
+                "accuracy": (agg["n_right"] or 0) / agg["n"]
+                if agg["n"] else 0.0,
+            })
+    finally:
+        base.unpersist()
+        gold_l_all.unpersist()
+        lines.unpersist()
+    return results
+
+
+def per_file_accuracy(best: DataFrame) -> DataFrame:
+    """Per-document accuracy breakdown of classify output — the
+    reference's per-file report (main.py:419-423: prints each file's
+    right/total during test). One groupBy(doc_id) over the per-L-line
+    winners from classify_documents/best_candidates."""
+    return (
+        best.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("label").cast("long")).alias("n_right"),
+        )
+        .withColumn(
+            "accuracy",
+            F.col("n_right").cast("double") / F.col("n_lines"))
+        .orderBy("doc_id")
+    )
+
+
 def classify_documents(
     spark: SparkSession,
     lines: DataFrame,
@@ -278,6 +468,7 @@ def classify_documents(
     return_model: bool = False,
     select_k: int | None = None,
     num_features: int | None = None,
+    learner: str = "lr",
     **feature_kwargs,
 ):
     """Full classify: returns one row per (doc_id, span_id, L-lineno)
@@ -296,7 +487,7 @@ def classify_documents(
 
         nf = N_FEATURES if num_features is None else num_features
         mdl = model if model is not None else train(
-            inst, select_k=select_k, num_features=nf)
+            inst, select_k=select_k, num_features=nf, learner=learner)
         out = best_candidates(score(inst, mdl, nf)).select(
             "doc_id", "span_id", "lineno",
             "lang_name", "lang_code", "prediction",

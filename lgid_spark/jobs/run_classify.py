@@ -55,6 +55,22 @@ def main(argv: list[str] | None = None) -> int:
                     help="additionally run K-fold cross-validation on the "
                          "instances (the reference's n-fold test, "
                          "main.py:188-233) and report per-fold accuracy")
+    ap.add_argument("--strict-cv", type=int, default=None, metavar="K",
+                    help="leak-free K-fold CV: the ODIN LM is rebuilt per "
+                         "fold from train-fold L-lines only")
+    ap.add_argument("--weights", default=None,
+                    help="write the named feature→coefficient report here "
+                         "as CSV (M5, get_feature_weights main.py:426-445)")
+    ap.add_argument("--per-file", default=None,
+                    help="write per-document accuracy CSV here "
+                         "(main.py:419-423 per-file report)")
+    ap.add_argument("--learner", default="lr", choices=["lr", "gbt"],
+                    help="gbt = gradient-boosted trees, the reference's "
+                         "AdaBoost alternative (models.py:211-214)")
+    ap.add_argument("--disable-features", default=None, metavar="CSV",
+                    help="comma-separated base feature names to disable "
+                         "(config.ini [features] = no), e.g. "
+                         "'L-LMw,L-LMc,L-LMm' for a window-only ablation")
     args = ap.parse_args(argv)
 
     from lgid_spark.session import get_submit_spark
@@ -108,6 +124,10 @@ def main(argv: list[str] | None = None) -> int:
         from lgid_spark.sources.freki import read_language_table
 
         feature_kwargs["common_table"] = read_language_table(args.common_table)
+    if args.disable_features:
+        feature_kwargs["feature_config"] = {
+            f.strip(): False for f in args.disable_features.split(",")
+            if f.strip()}
 
     # return_model=True hands back the model classify_documents already
     # trained/used — training happens exactly once, and the saved model
@@ -115,7 +135,7 @@ def main(argv: list[str] | None = None) -> int:
     best, used_model = classify_documents(
         spark, lines, table, model=model, return_model=True,
         select_k=args.select_k, num_features=num_features,
-        **feature_kwargs)
+        learner=args.learner, **feature_kwargs)
     best.persist()
     n_spans = best.count()
     n_right = best.where("label").count()
@@ -147,6 +167,27 @@ def main(argv: list[str] | None = None) -> int:
         )
         mistakes.coalesce(1).write.mode("overwrite").option(
             "header", "true").csv(args.mistakes)
+    if args.per_file:
+        from lgid_spark.classify import per_file_accuracy
+
+        per_file_accuracy(best).coalesce(1).write.mode(
+            "overwrite").option("header", "true").csv(args.per_file)
+    if args.weights:
+        import csv
+
+        from lgid_spark.classify import feature_name_list
+        from lgid_spark.operators.classifier import feature_weights
+
+        names = feature_name_list(
+            odin="odin_lm" in feature_kwargs,
+            crubadan="crubadan_lm" in feature_kwargs,
+            feature_config=feature_kwargs.get("feature_config"))
+        rows = feature_weights(used_model, names, num_features)
+        with open(args.weights, "w", newline="") as fh:
+            w = csv.DictWriter(
+                fh, ["name", "index", "weight", "selected", "collided"])
+            w.writeheader()
+            w.writerows(rows)
     if args.save_model:
         from lgid_spark.operators.classifier import save_model
 
@@ -164,6 +205,11 @@ def main(argv: list[str] | None = None) -> int:
 
         inst = build_instances(spark, lines, table, **feature_kwargs)
         summary["cv"] = cross_validate(inst, k=args.cv)
+    if args.strict_cv:
+        from lgid_spark.classify import strict_cross_validate
+
+        summary["strict_cv"] = strict_cross_validate(
+            spark, lines, table, k=args.strict_cv, **feature_kwargs)
     print(json.dumps(summary))
     return 0
 

@@ -50,24 +50,40 @@ def vectorize(instances: DataFrame,
 
 
 def train(instances: DataFrame, select_k: int | None = None,
-          num_features: int = N_FEATURES):
+          num_features: int = N_FEATURES, learner: str = "lr"):
     """M3 LR fit; with select_k, M2 chi² feature selection first
     (models.py:80-107 SelectKBest(chi2, k) → UnivariateFeatureSelector
     with categorical feature+label = chi-squared scoring). Returns a
     LogisticRegressionModel, or a PipelineModel [selector, LR] whose
     .transform chains selection into scoring — both serialize through
-    spark.ml save/load (M6)."""
+    spark.ml save/load (M6).
+
+    learner='gbt' swaps in GBTClassifier — the spark.ml analog of the
+    reference's boosted alternative learner (AdaboostWrapper,
+    models.py:211-214; SURVEY maps AdaBoost → gradient-boosted trees).
+    GBT needs a dense-ish space, so pair it with select_k (a 2^18-dim
+    sparse vector makes tree training explode); its model also exposes
+    probabilityCol, so score()/best_candidates work unchanged."""
     vec = vectorize(instances, num_features).withColumn(
         "label_d", F.col("label").cast("double"))
 
-    def _lr(features_col: str) -> LogisticRegression:
+    def _estimator(features_col: str):
+        if learner == "gbt":
+            from pyspark.ml.classification import GBTClassifier
+
+            return GBTClassifier(
+                featuresCol=features_col, labelCol="label_d",
+                maxIter=20, maxDepth=3, seed=1,  # random.seed(1) analog
+            )
+        if learner != "lr":
+            raise ValueError(f"unknown learner {learner!r}")
         return LogisticRegression(
             featuresCol=features_col, labelCol="label_d",
             regParam=1e-4, maxIter=100, standardization=False,
         )
 
     if select_k is None:
-        return _lr("features").fit(vec)
+        return _estimator("features").fit(vec)
     from pyspark.ml import Pipeline
     from pyspark.ml.feature import UnivariateFeatureSelector
 
@@ -80,7 +96,77 @@ def train(instances: DataFrame, select_k: int | None = None,
         .setSelectionMode("numTopFeatures")
         .setSelectionThreshold(select_k)
     )
-    return Pipeline(stages=[sel, _lr("selected")]).fit(vec)
+    return Pipeline(stages=[sel, _estimator("selected")]).fit(vec)
+
+
+def feature_weights(model, feature_names: list[str],
+                    num_features: int | None = None) -> list[dict]:
+    """M5 named-weight inspection — the reference's get_feature_weights
+    (main.py:426-445): feature name → LR coefficient, plus which
+    configured features the model never uses.
+
+    The reference's DictVectorizer stores a vocabulary, so it walks
+    feat_names(); HashingTF stores nothing — instead each KNOWN feature
+    name is hashed into the same 2^k slot the trainer used
+    (HashingTF.indexOf) and the coefficient is read from that slot.
+    Caveats reported per row: `collided` marks names sharing a slot
+    (their weights are inherently pooled), and for a chi²-selected
+    PipelineModel a slot the selector dropped has weight None with
+    selected=False — the hashed analog of "feature not used".
+
+    Returns rows {name, index, weight, selected, collided} sorted by
+    |weight| desc (None-weights last)."""
+    from collections import Counter
+
+    from pyspark.ml import PipelineModel
+
+    if isinstance(model, PipelineModel):
+        sel, clf = model.stages[0], model.stages[-1]
+        if not hasattr(clf, "coefficients"):
+            raise ValueError(
+                "feature_weights needs a linear model; for learner='gbt' "
+                "inspect featureImportances instead")
+        nf = int(num_features or N_FEATURES)
+        pos = {orig: i for i, orig in enumerate(sel.selectedFeatures)}
+        coef = clf.coefficients.toArray()
+
+        def weight_at(idx: int):
+            return float(coef[pos[idx]]) if idx in pos else None
+    else:
+        nf = int(num_features or getattr(model, "numFeatures", N_FEATURES))
+        coef = model.coefficients.toArray()
+
+        def weight_at(idx: int):
+            return float(coef[idx])
+
+    tf = HashingTF(numFeatures=nf, inputCol="_in", outputCol="_out")
+    idx_of = {name: tf.indexOf(name) for name in feature_names}
+    slot_counts = Counter(idx_of.values())
+    rows = [
+        {
+            "name": name,
+            "index": idx,
+            "weight": weight_at(idx),
+            "selected": weight_at(idx) is not None,
+            "collided": slot_counts[idx] > 1,
+        }
+        for name, idx in idx_of.items()
+    ]
+    rows.sort(key=lambda r: (
+        r["weight"] is None, -abs(r["weight"] or 0.0), r["name"]))
+    return rows
+
+
+def unused_features(model, feature_names: list[str],
+                    num_features: int | None = None,
+                    tol: float = 0.0) -> list[str]:
+    """The reference's "Features not used" report (main.py:435-442):
+    configured feature names whose model weight is absent (dropped by
+    chi² selection) or exactly zero (|w| <= tol)."""
+    return sorted(
+        r["name"] for r in feature_weights(model, feature_names, num_features)
+        if r["weight"] is None or abs(r["weight"]) <= tol
+    )
 
 
 def save_model(model, path: str, num_features: int | None = None) -> None:

@@ -165,3 +165,44 @@ def test_save_load_model_sidecar(spark, instances, tmp_path):
     d = best_candidates(score(instances, lr, 512)).collect()
     assert sorted((r.doc_id, r.prediction) for r in c) == sorted(
         (r.doc_id, r.prediction) for r in d)
+
+
+def test_feature_weights_named_report(spark, instances):
+    """M5 (get_feature_weights, main.py:426-445): the separable
+    fixture's informative flags carry the largest |coef|; a noise flag
+    present on every row carries ~none; chi²-dropped slots report as
+    not-selected (the hashed analog of "Features not used")."""
+    from lgid_spark.operators.classifier import (
+        feature_weights,
+        unused_features,
+    )
+
+    names = ["in_span", "w_close", "w_prev",
+             "name_tokri", "name_molvani", "name_quenya", "ghost_flag"]
+    model = train(instances, num_features=1024)
+    rows = feature_weights(model, names, 1024)
+    by_name = {r["name"]: r for r in rows}
+    assert not any(r["collided"] for r in rows)  # 7 names in 1024 slots
+    # informative flags dominate: top-2 by |weight| are the two markers
+    assert {rows[0]["name"], rows[1]["name"]} == {"in_span", "w_close"}
+    assert abs(by_name["w_prev"]["weight"]) < abs(by_name["in_span"]["weight"])
+    # a name never emitted hashes to an untouched slot → weight 0
+    assert by_name["ghost_flag"]["weight"] == 0.0
+    assert "ghost_flag" in unused_features(model, names, 1024)
+
+    # pipeline variant: chi² keeps k slots; dropped names report None
+    pipe = train(instances, select_k=2, num_features=1024)
+    prows = feature_weights(pipe, names, 1024)
+    pby = {r["name"]: r for r in prows}
+    assert pby["in_span"]["selected"] and pby["in_span"]["weight"] != 0.0
+    assert not pby["ghost_flag"]["selected"]
+    assert "ghost_flag" in unused_features(pipe, names, 1024)
+
+
+def test_gbt_learner(spark, instances):
+    """The reference's boosted alternative learner (AdaboostWrapper,
+    models.py:211-214) as GBTClassifier: separable fixture stays at
+    accuracy 1.0 through the same score/argmax path."""
+    model = train(instances, select_k=4, num_features=1024, learner="gbt")
+    best = best_candidates(score(instances, model, 1024)).collect()
+    assert sum(1 for r in best if r.label) / len(best) == 1.0

@@ -241,3 +241,49 @@ def test_name_keyed_lms(spark):
     inst2 = build_instances(spark, lines, table, odin_lm=flat_lm)
     feats2 = {r.lang_name: r.feats for r in inst2.collect()}
     assert feats2["quenya"]["L-LMw>1.0"] == feats2["exilic quenya"]["L-LMw>1.0"]
+
+
+def test_feature_config_toggles(spark, lines):
+    """config.ini [features] ablation gates (features.py branches on
+    config['features'][name]): disabling a base name removes it AND its
+    derived crosses; longest-prefix match keeps W-close / W-closest
+    distinct."""
+    from lgid_spark.classify import _feature_enabled, feature_name_list
+
+    cfg = {"W-close": False, "GL-first-lines": False}
+    inst = build_instances(spark, lines, LANG_TABLE, feature_config=cfg)
+    keys = set(inst.limit(1).collect()[0].feats.keys())
+    assert "W-close" not in keys
+    assert "GL-first-lines" not in keys
+    assert "GL-first-lines&langs<5" not in keys      # derived cross gated
+    assert "W-closest" in keys                       # prefix must not leak
+    assert "W-close-after" in keys                   # own toggle, untouched
+    assert "W-prev" in keys
+    # helper agrees with the emitted map
+    assert set(feature_name_list(feature_config=cfg)) == keys
+    assert _feature_enabled("L-LMw>0.3", {"L-LMw": False}) is False
+    assert _feature_enabled("L-LMw>0.3", {"L-LMw": True}) is True
+
+
+def test_feature_name_list_matches_instances(spark, lines):
+    """feature_name_list is the M5 vocabulary stand-in — it must stay in
+    lockstep with what build_instances actually emits."""
+    from lgid_spark.classify import feature_name_list
+    from lgid_spark.operators.lm import build_lm_ngrams
+
+    corpus = spark.createDataFrame(
+        [("qya", "ex am ple li ne")], ["lang", "text"])
+    lm = build_lm_ngrams(corpus, char_n=3, word_n=1, morph_n=2)
+    inst = build_instances(spark, lines, LANG_TABLE, odin_lm=lm)
+    keys = set(inst.limit(1).collect()[0].feats.keys())
+    assert keys == set(feature_name_list(odin=True))
+
+
+def test_per_file_accuracy(spark, lines):
+    from lgid_spark.classify import per_file_accuracy
+
+    best = classify_documents(spark, lines, LANG_TABLE)
+    rows = per_file_accuracy(best).collect()
+    assert [r.doc_id for r in rows] == [f"doc{d}" for d in range(6)]
+    for r in rows:
+        assert r.n_lines == 1 and r.accuracy == 1.0
