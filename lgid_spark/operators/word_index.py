@@ -11,9 +11,15 @@ so the index is reproducible.
 
 Scale shape: a single global row_number would sort-shuffle everything
 into ONE partition. Instead ids are assigned two-stage — row_number
-within a first-character bucket plus a broadcast cumulative offset per
-bucket — so the heavy ranking stays partitioned and only the tiny
-per-bucket count frame is globally ordered."""
+within a sorted-PREFIX bucket plus a broadcast cumulative offset per
+bucket — so the heavy ranking stays partitioned and only the small
+per-bucket count frame is globally ordered. The bucket key is the
+word's first `prefix_len` characters (default 3, VERDICT r2 item 5):
+a 1-char bucket caps the bucket count at |alphabet| and real word
+distributions pile onto a few letters, re-concentrating the rank at
+web scale; a 3-char prefix yields thousands of buckets while staying
+ORDER-CONSISTENT with the words (prefix order == word-range order),
+which a hash bucket would not — dense ids need ordered ranges."""
 
 from __future__ import annotations
 
@@ -24,13 +30,13 @@ ID_START = 10000  # util.py:273 "so that all words will have a mapping 5 digits 
 
 
 def dense_word_ids(words: DataFrame, word_col: str = "word",
-                   start: int = ID_START) -> DataFrame:
+                   start: int = ID_START, prefix_len: int = 3) -> DataFrame:
     """distinct words → (word, word_id) with dense sequential ids in
     sorted-word order, assigned without a global single-partition sort."""
     w = words.select(F.col(word_col).alias("word")).distinct()
-    b = w.withColumn("_bkt", F.substring("word", 1, 1))
-    # per-bucket sizes: tiny frame (≤ |alphabet| rows) — the only place
-    # a global ordering is computed
+    b = w.withColumn("_bkt", F.substring("word", 1, prefix_len))
+    # per-bucket sizes: small frame (≤ |alphabet|^prefix_len distinct
+    # prefixes, in practice thousands) — the only globally-ordered step
     offsets = (
         b.groupBy("_bkt").agg(F.count("*").alias("_n"))
         .withColumn(

@@ -120,6 +120,29 @@ def test_word_index_window_is_partitioned(spark):
     assert "hashpartitioning(_bkt" in feeding
 
 
+def test_word_index_prefix_buckets_break_skew(spark):
+    """VERDICT r2 item 5: on a letter-skewed vocabulary (everything
+    starts with 's') a first-CHARACTER bucket would re-concentrate the
+    rank into one partition; the 3-char sorted prefix must spread it
+    over many effective buckets while keeping ids dense and sorted."""
+    from lgid_spark.operators.word_index import dense_word_ids
+
+    vocab = [f"s{chr(97 + i)}{chr(97 + j)}word{k}"
+             for i in range(26) for j in range(5) for k in range(3)]
+    words = spark.createDataFrame([(w,) for w in vocab], ["word"])
+    ids = dense_word_ids(words)
+    n_buckets = (
+        ids.selectExpr("substring(word, 1, 3) AS b")
+        .distinct().count()
+    )
+    assert n_buckets > 26  # one bucket per 3-prefix, not per letter
+    got = [r.word for r in ids.orderBy("word_id").collect()]
+    assert got == sorted(vocab)  # dense ids still in global sorted order
+    first = ids.agg({"word_id": "min"}).collect()[0][0]
+    last = ids.agg({"word_id": "max"}).collect()[0][0]
+    assert (first, last) == (10000, 10000 + len(vocab) - 1)
+
+
 def test_emb_near_dup_no_cartesian(spark):
     from lgid_spark.queries.coverage import emb_near_dup_pairs
 
