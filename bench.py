@@ -108,8 +108,16 @@ def _warm_python_workers(spark) -> None:
     ).select("keep").count()
 
 
-def _run_pipeline(spark, n_docs: int, warm: bool = True) -> float:
-    """Flagship filter throughput: web_pages parquet → full pipeline."""
+def _run_pipeline(spark, n_docs: int, warm: bool = True,
+                  labels_only: bool = False) -> float:
+    """Flagship filter throughput: web_pages parquet → full pipeline.
+
+    labels_only=True benches the Arrow-diet variant (emit flags off in
+    quality_pipeline): the consumer here only aggregates `keep`, and
+    Catalyst cannot prune INSIDE a pandas-UDF struct, so the default
+    variant ships extracted+scrubbed text back over Arrow anyway —
+    the delta between the two numbers is the measured text-column
+    Arrow+scrub cost per doc."""
     from lgid_spark.pipeline import quality_pipeline
 
     path = _materialize_pages(spark, n_docs)
@@ -117,7 +125,8 @@ def _run_pipeline(spark, n_docs: int, warm: bool = True) -> float:
         _warm_python_workers(spark)
     t0 = time.time()
     quality_pipeline(
-        spark, spark.read.parquet(path)
+        spark, spark.read.parquet(path),
+        emit_extracted=not labels_only, emit_scrubbed=not labels_only,
     ).select("keep").groupBy("keep").count().collect()
     return time.time() - t0
 
@@ -256,6 +265,12 @@ def main() -> None:
     pipe_sec = _run_pipeline(spark, PIPELINE_DOCS)
     docs_per_sec = round(PIPELINE_DOCS / pipe_sec, 1)
     queries["filter_pipeline"] = round(pipe_sec, 3)
+    # Arrow-diet variant (emit flags off): same input, keep/drop labels
+    # only — the delta vs filter_pipeline is the per-doc cost of
+    # shipping extracted+scrubbed text over Arrow plus the scrub regex
+    diet_sec = _run_pipeline(spark, PIPELINE_DOCS, warm=False,
+                             labels_only=True)
+    queries["filter_pipeline_labels_only"] = round(diet_sec, 3)
 
     # r1 comparability: r1's "value" summed 19 queries + a 60k-doc
     # pipeline pass; r2 benches 3 more queries and the 960k-doc pipeline.
@@ -265,7 +280,8 @@ def main() -> None:
     # pipeline headline either way.
     r1_set_total = round(
         sum(v for k, v in queries.items()
-            if k not in ("filter_pipeline", "lm_match_ratio_stats",
+            if k not in ("filter_pipeline", "filter_pipeline_labels_only",
+                         "lm_match_ratio_stats",
                          "word_int_index", "mention_recall")), 3)
     result = {
         "metric": "headline_queries_total",
@@ -277,6 +293,7 @@ def main() -> None:
         "cpus": cpus,
         "cold_pass_sec": cold_total,
         "filter_docs_per_sec": docs_per_sec,
+        "filter_labels_only_docs_per_sec": round(PIPELINE_DOCS / diet_sec, 1),
         "pipeline_docs": PIPELINE_DOCS,
     }
 

@@ -282,7 +282,18 @@ def scrub_text(text: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def process_batch(texts, model: "LangIDModel") -> list[dict]:
+def process_batch(texts, model: "LangIDModel",
+                  emit_extracted: bool = True,
+                  emit_scrubbed: bool = True) -> list[dict]:
+    """Fused per-text scoring. The emit flags drop the two TEXT fields
+    from the output dicts — the Arrow-volume levers for the fused UDF
+    (a metrics/keep-only consumer pays for ints+doubles instead of
+    shipping the full document text back JVM-side); emit_scrubbed=False
+    additionally skips the scrub regex work itself."""
+    return _process_batch_impl(texts, model, emit_extracted, emit_scrubbed)
+
+
+def _process_batch_impl(texts, model, emit_extracted, emit_scrubbed):
     # one cache keyed by the RAW word: (normalized form, bucket array)
     # — a single dict hit per token covers normalization AND hashing
     word_cache: dict[str, tuple[str, "np.ndarray | None"]] = {}
@@ -328,8 +339,10 @@ def process_batch(texts, model: "LangIDModel") -> list[dict]:
             repetition_ratio = 1.0 - len(trigrams) / (n_words - 2)
         else:
             repetition_ratio = 0.0
-        out.append({
-            "extracted_text": text,
+        row = {}
+        if emit_extracted:
+            row["extracted_text"] = text
+        row.update({
             "lang_pred": lang_pred,
             "langid_conf": conf,
             "ppl": ppl,
@@ -339,8 +352,10 @@ def process_batch(texts, model: "LangIDModel") -> list[dict]:
             "symbol_word_ratio": symbol_word_ratio,
             "stopword_ratio": stopword_ratio,
             "repetition_ratio": repetition_ratio,
-            "scrubbed_text": scrub_text(text),
         })
+        if emit_scrubbed:
+            row["scrubbed_text"] = scrub_text(text)
+        out.append(row)
     return out
 
 

@@ -194,22 +194,32 @@ def with_bucket(df: DataFrame, n_buckets: int = N_BUCKETS_DEFAULT) -> DataFrame:
     )
 
 
-_PROCESS_SCHEMA = T.StructType([
-    T.StructField("extracted_text", T.StringType()),
-    T.StructField("lang_pred", T.StringType()),
-    T.StructField("langid_conf", T.DoubleType()),
-    T.StructField("ppl", T.DoubleType()),
-    T.StructField("n_chars", T.IntegerType()),
-    T.StructField("n_words", T.IntegerType()),
-    T.StructField("mean_line_len", T.DoubleType()),
-    T.StructField("symbol_word_ratio", T.DoubleType()),
-    T.StructField("stopword_ratio", T.DoubleType()),
-    T.StructField("repetition_ratio", T.DoubleType()),
-    T.StructField("scrubbed_text", T.StringType()),
-])
+def _process_schema(emit_extracted: bool, emit_scrubbed: bool) -> T.StructType:
+    fields = []
+    if emit_extracted:
+        fields.append(T.StructField("extracted_text", T.StringType()))
+    fields += [
+        T.StructField("lang_pred", T.StringType()),
+        T.StructField("langid_conf", T.DoubleType()),
+        T.StructField("ppl", T.DoubleType()),
+        T.StructField("n_chars", T.IntegerType()),
+        T.StructField("n_words", T.IntegerType()),
+        T.StructField("mean_line_len", T.DoubleType()),
+        T.StructField("symbol_word_ratio", T.DoubleType()),
+        T.StructField("stopword_ratio", T.DoubleType()),
+        T.StructField("repetition_ratio", T.DoubleType()),
+    ]
+    if emit_scrubbed:
+        fields.append(T.StructField("scrubbed_text", T.StringType()))
+    return T.StructType(fields)
 
 
-def make_process_html_udf(spark: SparkSession):
+_PROCESS_SCHEMA = _process_schema(True, True)
+
+
+def make_process_html_udf(spark: SparkSession,
+                          emit_extracted: bool = True,
+                          emit_scrubbed: bool = True):
     """Fused extract→langid→metrics→scrub in ONE Arrow crossing.
 
     Two scale reasons: (1) the unfused path ships the full document text
@@ -218,15 +228,24 @@ def make_process_html_udf(spark: SparkSession):
     arrays per row on the shared executor heap — measured to ANTI-scale
     8→32 local cores from GC contention, while per-process Python
     scales linearly. The single pass tokenizes once and shares it
-    between langid and the metrics (see oracle.process_batch)."""
+    between langid and the metrics (see oracle.process_batch).
+
+    The emit flags (VERDICT r2 item 6) drop the text fields from the
+    returned struct for consumers that only need labels/metrics (e.g.
+    a keep/drop histogram or lineage pass): document text is by far the
+    heaviest Arrow column, and emit_scrubbed=False also skips the scrub
+    regex CPU entirely."""
     model = R.get_langid_model()
     bc = spark.sparkContext.broadcast((model.logp, model.langs))
+    schema = _process_schema(emit_extracted, emit_scrubbed)
 
-    @F.pandas_udf(_PROCESS_SCHEMA)
+    @F.pandas_udf(schema)
     def process_html_udf(html: pd.Series) -> pd.DataFrame:
         m = R.LangIDModel.from_weights(*bc.value)
         texts = [R.extract_text(h) for h in html]
-        return pd.DataFrame(R.process_batch(texts, m))
+        return pd.DataFrame(R.process_batch(
+            texts, m, emit_extracted=emit_extracted,
+            emit_scrubbed=emit_scrubbed))
 
     return process_html_udf
 
@@ -235,23 +254,34 @@ def quality_pipeline(
     spark: SparkSession,
     web_pages: DataFrame,
     n_buckets: int = N_BUCKETS_DEFAULT,
+    emit_extracted: bool = True,
+    emit_scrubbed: bool = True,
 ) -> DataFrame:
     """web_pages(url, warc_ts, html, text, lang) → filtered/labelled frame.
 
-    Output schema ⊇ golden_labels (FIXTURES.md §6).
+    Output schema ⊇ golden_labels (FIXTURES.md §6) with default emit
+    flags; labels/metrics-only consumers pass emit_extracted=False /
+    emit_scrubbed=False to keep document text out of the Arrow return
+    path (and skip scrub work) — see make_process_html_udf.
     """
-    process_udf = make_process_html_udf(spark)
+    process_udf = make_process_html_udf(
+        spark, emit_extracted=emit_extracted, emit_scrubbed=emit_scrubbed)
     df = with_bucket(web_pages, n_buckets)
     df = df.withColumn("_p", process_udf(F.col("html")))
     df = df.select("*", "_p.*").drop("_p")
     df = with_drop_reasons(df)
-    return df.select(
-        "url", "warc_ts", "bucket", "lang",
-        "extracted_text", "lang_pred", "langid_conf", "ppl",
+    cols = ["url", "warc_ts", "bucket", "lang"]
+    if emit_extracted:
+        cols.append("extracted_text")
+    cols += [
+        "lang_pred", "langid_conf", "ppl",
         "n_chars", "n_words", "mean_line_len", "symbol_word_ratio",
         "stopword_ratio", "repetition_ratio",
-        "drop_reasons", "keep", "scrubbed_text",
-    )
+        "drop_reasons", "keep",
+    ]
+    if emit_scrubbed:
+        cols.append("scrubbed_text")
+    return df.select(*cols)
 
 
 def salted_repartition(df: DataFrame, key: str, salt_buckets: int = 16) -> DataFrame:

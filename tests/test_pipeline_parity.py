@@ -69,3 +69,24 @@ def test_keep_f1(golden, spark_out):
     f1 = 2 * tp / (2 * tp + fp + fn)
     assert f1 >= 0.99, f1
     assert (spark_out["keep"] == golden["keep"]).all()  # exact, in practice
+
+
+def test_labels_only_diet_matches_full(spark):
+    """VERDICT r2 item 6: the Arrow-diet variant (emit flags off) must
+    produce identical keep/drop decisions and metrics — only the two
+    text columns disappear from the output (and from the Arrow return
+    path)."""
+    pages = spark_web_pages(spark, 300)
+    full = quality_pipeline(spark, pages).select(
+        "url", "keep", "lang_pred", "ppl", "n_words",
+        "drop_reasons").collect()
+    diet_df = quality_pipeline(
+        spark, pages, emit_extracted=False, emit_scrubbed=False)
+    assert "extracted_text" not in diet_df.columns
+    assert "scrubbed_text" not in diet_df.columns
+    diet = diet_df.select(
+        "url", "keep", "lang_pred", "ppl", "n_words",
+        "drop_reasons").collect()
+    key = lambda r: r.url  # noqa: E731
+    assert sorted(map(tuple, full), key=lambda t: t[0]) == \
+        sorted(map(tuple, diet), key=lambda t: t[0])
