@@ -33,13 +33,18 @@ mention is in [lo, hi] iff startline ∈ [lo, hi] — the written
 `endline >= top` check is vacuous given that keying (endline ≥ startline
 always). We filter on startline alone and document it here.
 
-Shapes: spans and the mention table are both small relative to lines
-(mentions ≪ lines rows), so every join here broadcasts the span side;
-the range predicates ride on a BroadcastHashJoin over doc_id with the
-line-window residual filtered after — no shuffle of the mention fact.
+Shapes: every evidence join is an equi-join on doc_id with the
+line-window range predicate as a residual filter. The span/bound side
+is per-span/per-doc (≪ mentions rows but proportional to corpus size),
+so join selection defaults to Catalyst/AQE — AQE broadcasts per stage
+where runtime sizes justify it, and degrades to shuffle joins when the
+dims outgrow the threshold at 10^6+ docs (evidence_join_strategy below
+can force broadcast for cold one-shot small runs).
 """
 
 from __future__ import annotations
+
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -52,6 +57,36 @@ CLOSE_AFTER = 2
 FREQUENT_THRESH = 6           # frequent-mention-threshold
 AFTER_FREQUENT_THRESH = 6     # after-frequent-mention-threshold
 ARTICLE_FREQUENT_THRESH = 20  # article-frequent-mention-threshold
+
+
+_BROADCAST_DIMS = False
+
+
+def _dim(df: DataFrame) -> DataFrame:
+    """Join-side wrapper for the span/bound/qualifier frames — per-span
+    / per-doc aggregates that grow WITH the corpus, so a forced
+    broadcast OOMs the driver at 10^6+ docs. Default leaves them
+    unhinted: AQE broadcasts per-stage where runtime sizes justify it
+    (measured faster warm at 5k docs than forcing, and the only safe
+    plan at scale — see evidence_join_strategy /
+    test_build_instances_scale_path_no_forced_broadcast)."""
+    return F.broadcast(df) if _BROADCAST_DIMS else df
+
+
+@_contextmanager
+def evidence_join_strategy(strategy: str):
+    """'shuffle' (build_instances' default) leaves evidence-join
+    selection to Catalyst/AQE; 'broadcast' forces dim-side broadcast —
+    slightly faster for cold one-shot small-corpus runs, unsafe at
+    10^6+ docs. Context-scoped: plan construction is driver-side and
+    synchronous, so the module flag is safe here."""
+    global _BROADCAST_DIMS
+    old = _BROADCAST_DIMS
+    _BROADCAST_DIMS = strategy != "shuffle"
+    try:
+        yield
+    finally:
+        _BROADCAST_DIMS = old
 
 
 def span_bounds(lines: DataFrame) -> DataFrame:
@@ -75,7 +110,7 @@ def _window_flag(mentions: DataFrame, spans: DataFrame, lo, hi, flag: str,
                  keys=("doc_id", "span_id")) -> DataFrame:
     """W1: (doc[, span], name, code) whose mention startline ∈ [lo, hi]
     (expressions over the span/doc-bound columns of `spans`)."""
-    j = mentions.join(F.broadcast(spans), "doc_id").where(
+    j = mentions.join(_dim(spans), "doc_id").where(
         (F.col("startline") >= lo) & (F.col("startline") <= hi)
     )
     return (
@@ -108,7 +143,7 @@ def window_features(mentions: DataFrame, spans: DataFrame) -> DataFrame:
 
 def _counts_in_window(mentions: DataFrame, spans: DataFrame, lo, hi,
                       keys=("doc_id", "span_id")) -> DataFrame:
-    windowed = mentions.join(F.broadcast(spans), "doc_id").where(
+    windowed = mentions.join(_dim(spans), "doc_id").where(
         (F.col("startline") >= lo) & (F.col("startline") <= hi)
     )
     return windowed.groupBy(*keys, "name", "code").agg(
@@ -180,7 +215,7 @@ def closest_mentions(mentions: DataFrame, spans: DataFrame,
         lo, hi, ref = bottom, bottom + AFTER_WINDOW, bottom
     else:
         lo, hi, ref = top - WINDOW_SIZE, top, top
-    j = mentions.join(F.broadcast(spans), "doc_id").where(
+    j = mentions.join(_dim(spans), "doc_id").where(
         (F.col("startline") >= lo) & (F.col("startline") <= hi)
     )
     dist = F.abs(ref - F.col("startline"))
@@ -240,10 +275,10 @@ def adaptive_window_features(
     (doc_id, span_id, name, code, frequent, by_langs, by_lines) for
     qualifying docs whose count clears the threshold."""
     qual = adaptive_doc_ids(mentions, lines, min_langs, min_lines)
-    m = mentions.join(F.broadcast(qual.select("doc_id")), "doc_id")
+    m = mentions.join(_dim(qual.select("doc_id")), "doc_id")
     out = frequent_mentions(m, spans, thresh=thresh, after=after,
                             window=window)
-    return out.where(F.col("frequent")).join(F.broadcast(qual), "doc_id")
+    return out.where(F.col("frequent")).join(_dim(qual), "doc_id")
 
 
 def in_line_mentions(mentions: DataFrame, lines: DataFrame, tag: str) -> DataFrame:

@@ -84,6 +84,37 @@ def test_build_instances_no_cartesian(spark):
         spark, lines, LANG_TABLE, odin_lm=lm,
         common_table={"quenya": ["qya"]}))
     assert "CartesianProduct" not in plan
+
+
+def test_build_instances_scale_path_no_forced_broadcast(spark):
+    """VERDICT r2 item 9: the evidence frames (spans, qualifying docs,
+    feature aggregates) grow WITH the corpus — a forced F.broadcast on
+    any of them OOMs the driver at 10^6+ docs. With auto-broadcast
+    disabled (the 10^6-doc planner state), the whole instance build
+    must degrade to shuffle joins: the only BroadcastExchanges allowed
+    are for genuinely bounded dimensions (the common-codes table; the
+    mention matcher ships via sc.broadcast, not a plan node)."""
+    from lgid_spark.classify import build_instances
+    from lgid_spark.fixtures import LANG_TABLE
+
+    lines = spark.createDataFrame(
+        [("d0", 1, "O", None, None, None, "about quenya"),
+         ("d0", 2, "L", "s1", "quenya", "qya", "ex am ple")],
+        "doc_id string, lineno int, tag string, span_id string, "
+        "lang_name string, lang_code string, text string",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(build_instances(
+            spark, lines, LANG_TABLE,
+            common_table={"quenya": ["qya"]},
+            evidence_strategy="shuffle"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "CartesianProduct" not in plan
+    # one forced broadcast remains: the bounded common-codes dim
+    assert plan.count("BroadcastExchange") <= 1
     assert "BroadcastNestedLoopJoin" not in plan
 
 
