@@ -378,6 +378,46 @@ def _classify_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["classify_lifecycle"] = _classify_lifecycle
 
 
+def _per_file_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document accuracy breakdown (main.py:419-423 per-file report)
+    of the classify flagship on the same crafted corpus as
+    classify_lifecycle — VERDICT r3: the A7 accuracy metric at the
+    reference's finer per-file grain, as an oracled query."""
+    from ..classify import classify_documents, per_file_accuracy
+    from ..fixtures import LANG_TABLE
+
+    langs = [("quenya", "qya"), ("valdese", "vld"), ("molvani", "mv1")]
+    rows = []
+    for d in range(9):
+        doc, (name, code) = f"doc{d}", langs[d % 3]
+        rows += [
+            (doc, 1, "O", None, None, None, f"notes on the {name} language"),
+            (doc, 2, "L", "s1", name, code, "ex am ple li ne"),
+            (doc, 3, "G", "s1", None, None, "gloss line"),
+        ]
+    lines = spark.createDataFrame(
+        rows,
+        "doc_id string, lineno int, tag string, span_id string, "
+        "lang_name string, lang_code string, text string",
+    )
+    best = classify_documents(spark, lines, LANG_TABLE, num_features=4096)
+    return per_file_accuracy(best)
+
+
+QUERIES["per_file_accuracy"] = _per_file_accuracy
+
+# deterministic: 9 crafted docs, one L-line each, separable corpus →
+# every doc classifies its single span correctly
+ORACLE_SQL["per_file_accuracy"] = """
+SELECT * FROM (VALUES
+  """ + ",\n  ".join(
+    f"('doc{d}', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE))"
+    for d in range(9)
+) + """
+) AS t(doc_id, n_lines, n_right, accuracy)
+"""
+
+
 def _classify_feature_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Active-feature histogram of build_instances over a crafted corpus
     WITH an ODIN LM and a common-codes table — pins the entire feature
