@@ -64,6 +64,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--per-file", default=None,
                     help="write per-document accuracy CSV here "
                          "(main.py:419-423 per-file report)")
+    ap.add_argument("--num-features", type=int, default=None,
+                    help="HashingTF width (default 2^18); small corpora "
+                         "train much faster at 4096 with no accuracy loss")
     ap.add_argument("--learner", default="lr", choices=["lr", "gbt"],
                     help="gbt = gradient-boosted trees, the reference's "
                          "AdaBoost alternative (models.py:211-214)")
@@ -105,7 +108,7 @@ def main(argv: list[str] | None = None) -> int:
         lines = read_freki(spark, args.input)
 
     model = None
-    num_features = None
+    num_features = args.num_features
     if args.model:
         from lgid_spark.operators.classifier import load_model
 
@@ -204,12 +207,17 @@ def main(argv: list[str] | None = None) -> int:
         from lgid_spark.operators.classifier import cross_validate
 
         inst = build_instances(spark, lines, table, **feature_kwargs)
-        summary["cv"] = cross_validate(inst, k=args.cv)
+        cv_kw = {} if num_features is None else {
+            "num_features": num_features}
+        summary["cv"] = cross_validate(inst, k=args.cv, **cv_kw)
     if args.strict_cv:
         from lgid_spark.classify import strict_cross_validate
 
+        cv_kw = {} if num_features is None else {
+            "num_features": num_features}
         summary["strict_cv"] = strict_cross_validate(
-            spark, lines, table, k=args.strict_cv, **feature_kwargs)
+            spark, lines, table, k=args.strict_cv, **cv_kw,
+            **feature_kwargs)
     print(json.dumps(summary))
     return 0
 

@@ -127,7 +127,9 @@ def feature_weights(model, feature_names: list[str],
                 "feature_weights needs a linear model; for learner='gbt' "
                 "inspect featureImportances instead")
         nf = int(num_features or N_FEATURES)
-        pos = {orig: i for i, orig in enumerate(sel.selectedFeatures)}
+        # the selector model emits the sliced vector in SORTED original-
+        # index order regardless of selectedFeatures' ranking order
+        pos = {orig: i for i, orig in enumerate(sorted(sel.selectedFeatures))}
         coef = clf.coefficients.toArray()
 
         def weight_at(idx: int):
