@@ -59,3 +59,34 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.select("url").distinct().count() == got.count()  # no dupes
     assert got.count() == 130  # 100 originals + 30 genuinely new
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """ADVICE r2: the watermark path uses dropDuplicatesWithinWatermark
+    so url state is actually EVICTED after the watermark passes (a plain
+    watermark + dropDuplicates on a non-event-time key never evicts).
+    Within the watermark, duplicates are still suppressed across
+    micro-batches."""
+    from lgid_spark.streaming.dedup import stream_dedup_pages
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # watermark wider than the generator's warc_ts span, so no row is
+    # "late" and the assertion isolates the dedup semantics (a tight
+    # watermark additionally drops old-timestamped genuinely-new rows —
+    # the documented live-stream-vs-backfill tradeoff in dedup.py)
+    pages = spark_web_pages(spark, 80)
+    pages.write.mode("append").parquet(inp)
+    stream_dedup_pages(spark, inp, out, ckpt, watermark="3650 days")
+    assert spark.read.parquet(out).count() == 80
+
+    # same 80 urls re-delivered (same event times, within the watermark)
+    # plus 20 new docs → only the new ones emit
+    pages.write.mode("append").parquet(inp)
+    spark_web_pages(spark, 100).write.mode("append").parquet(inp)
+    stream_dedup_pages(spark, inp, out, ckpt, watermark="3650 days")
+    got = spark.read.parquet(out)
+    assert got.select("url").distinct().count() == got.count()
+    assert got.count() == 100
