@@ -1,0 +1,54 @@
+"""North-rule packaging proof: the job really ships as
+`spark-submit --py-files dist/lgid_spark.zip` — run from a neutral cwd
+with the repo stripped from PYTHONPATH, so every `lgid_spark.*` import
+inside the job must resolve from the zip, exactly as on a cluster."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DIST = os.path.join(REPO, "dist", "lgid_spark.zip")
+JOB = os.path.join(REPO, "lgid_spark", "jobs", "run_filter.py")
+
+
+@pytest.mark.skipif(not os.path.exists(DIST), reason="dist zip not built")
+def test_spark_submit_py_files_filter_job(tmp_path):
+    out = str(tmp_path / "filtered")
+    metrics = str(tmp_path / "metrics")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH",)}
+    cmd = [
+        "spark-submit",
+        "--master", "local[4]",
+        "--driver-memory", "3g",
+        "--py-files", DIST,
+        JOB,
+        "--input", "synth:200",
+        "--output", out,
+        "--metrics", metrics,
+        "--snapshot-id", "pytest-submit",
+    ]
+    run = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=420,
+        cwd=str(tmp_path), env=env,
+    )
+    assert run.returncode == 0, run.stderr[-3000:]
+    summary = json.loads(run.stdout.strip().splitlines()[-1])
+    assert summary["snapshot_id"] == "pytest-submit"
+    assert summary["processed_buckets"] > 0
+    assert os.path.isdir(out) and os.path.isdir(metrics)
+
+    # idempotent resume: a second submit over the same metrics dir is a
+    # no-op (all buckets already committed)
+    run2 = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=420,
+        cwd=str(tmp_path), env=env,
+    )
+    assert run2.returncode == 0, run2.stderr[-3000:]
+    summary2 = json.loads(run2.stdout.strip().splitlines()[-1])
+    assert summary2["processed_buckets"] == 0
