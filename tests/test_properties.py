@@ -85,3 +85,44 @@ def test_langid_deterministic(text):
     assert m.score(text) == m.score(text)
     lang, conf, ppl = m.score(text)
     assert lang in m.langs and 0.0 < conf <= 1.0 and ppl > 0.0
+
+
+# --- scrub guard equivalence (round 3) --------------------------------------
+# scrub_text short-circuits regex scans behind containment pre-checks;
+# this property pins guarded output == the raw unguarded chain on
+# adversarial inputs (unicode case oddities like U+0130, digit-less
+# text, lexicon words inside longer words, mixed PII).
+
+from lgid_spark.oracle.reference import (  # noqa: E402
+    EMAIL_RE,
+    PHONE_RE,
+    SSN_RE,
+    TOXIC_RE,
+    scrub_text,
+)
+from lgid_spark.lexicons import TOXIC_LEXICON  # noqa: E402
+
+
+def _scrub_unguarded(text: str) -> str:
+    text = EMAIL_RE.sub("<EMAIL>", text)
+    text = SSN_RE.sub("<SSN>", text)
+    text = PHONE_RE.sub("<PHONE>", text)
+    text = TOXIC_RE.sub("<TOX>", text)
+    return text
+
+
+_scrub_atoms = st.sampled_from(
+    [w.upper() for w in TOXIC_LEXICON]
+    + [w.title() for w in TOXIC_LEXICON]
+    + [f"x{w}y" for w in TOXIC_LEXICON]  # inside a word: \b must NOT fire
+    + ["a@b.co", "555-12-3456", "(555) 123-4567", "İ", "ſ", "ǂkx'a",
+       "no digits here", "123", "plain words only", "İNSULT"]
+)
+
+
+@given(st.lists(_scrub_atoms, min_size=0, max_size=8),
+       st.text(max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_scrub_guards_equal_unguarded_chain(parts, noise):
+    text = " ".join(parts + [noise])
+    assert scrub_text(text) == _scrub_unguarded(text)
