@@ -30,6 +30,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--metrics", required=True)
     ap.add_argument("--snapshot-id", default=None)
     ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--emit-extracted", action="store_true",
+                    help="also write pre-scrub extracted_text (debug/"
+                         "parity; ~2x text bytes through Arrow + output)")
     args = ap.parse_args(argv)
 
     from lgid_spark.session import get_submit_spark
@@ -48,7 +51,8 @@ def main(argv: list[str] | None = None) -> int:
     snapshot = args.snapshot_id or f"snap-{int(time.time())}"
     t0 = time.time()
     res = run_incremental(
-        spark, pages, args.output, args.metrics, snapshot, args.buckets)
+        spark, pages, args.output, args.metrics, snapshot, args.buckets,
+        emit_extracted=args.emit_extracted)
     res.update({"snapshot_id": snapshot, "sec": round(time.time() - t0, 2)})
     print(json.dumps(res))
     return 0

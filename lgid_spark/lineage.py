@@ -86,6 +86,7 @@ def run_incremental(
     metrics_path: str,
     snapshot_id: str,
     n_buckets: int = 64,
+    emit_extracted: bool = False,
 ) -> dict:
     """Process only not-yet-committed buckets; append output + lineage.
 
@@ -93,8 +94,16 @@ def run_incremental(
     between the output write and the metrics write re-processes the
     affected buckets on retry; downstream readers must key on the
     metrics table (standard write-ahead-commit pattern — with real
-    Iceberg both writes share one transaction)."""
-    labelled = quality_pipeline(spark, web_pages, n_buckets=n_buckets)
+    Iceberg both writes share one transaction).
+
+    The production output carries scrubbed_text (the product) but NOT
+    extracted_text by default: pre-scrub text roughly doubles both the
+    Arrow return volume of the fused UDF and the output parquet size,
+    and its per-url bytes are already pinned by the parity tests —
+    pass emit_extracted=True for a debug/parity run."""
+    labelled = quality_pipeline(
+        spark, web_pages, n_buckets=n_buckets,
+        emit_extracted=emit_extracted)
     done = committed_buckets(spark, metrics_path)
     todo = labelled.join(F.broadcast(done), "bucket", "left_anti")
 
