@@ -50,12 +50,15 @@ def extract_text(html: bytes) -> str:
     s = _DROP_BLOCKS.sub(" ", s)
     s = _TAG.sub("\n", s)
     s = _html_mod.unescape(s)
-    lines = []
-    for raw in s.split("\n"):
-        line = _WS.sub(" ", raw).strip()
-        if line:
-            lines.append(line)
-    return "\n".join(lines)
+    # ONE whitespace-collapse pass over the whole text instead of one
+    # sub per line: _WS's class excludes \n, so the global sub touches
+    # exactly what the per-line subs did (was ~30 re.sub calls/doc —
+    # the hot spot of extraction profiling). Per-line strip() still
+    # runs per line (it also trims unicode spaces like the \xa0 that
+    # unescape introduces, which _WS deliberately leaves inside lines).
+    s = _WS.sub(" ", s)
+    return "\n".join(
+        line for line in (raw.strip() for raw in s.split("\n")) if line)
 
 
 # ---------------------------------------------------------------------------

@@ -126,3 +126,41 @@ _scrub_atoms = st.sampled_from(
 def test_scrub_guards_equal_unguarded_chain(parts, noise):
     text = " ".join(parts + [noise])
     assert scrub_text(text) == _scrub_unguarded(text)
+
+
+from lgid_spark.oracle.reference import (  # noqa: E402
+    _DROP_BLOCKS,
+    _TAG,
+    _WS,
+    extract_text,
+)
+import html as _html_mod  # noqa: E402
+
+
+def _extract_per_line(html_bytes: bytes) -> str:
+    """Round-2 formulation (per-line _WS.sub) — the optimized one-pass
+    extract_text must stay byte-identical to it."""
+    s = html_bytes.decode("utf-8", errors="replace")
+    s = _DROP_BLOCKS.sub(" ", s)
+    s = _TAG.sub("\n", s)
+    s = _html_mod.unescape(s)
+    lines = []
+    for raw in s.split("\n"):
+        line = _WS.sub(" ", raw).strip()
+        if line:
+            lines.append(line)
+    return "\n".join(lines)
+
+
+_html_atoms = st.sampled_from([
+    "<p>hello   world</p>", "<script>drop me</script>", "&nbsp;", "&amp;",
+    "a\tb", "\r\n", "  ", "<div>x</div>", "é&eacute;", "\xa0pad\xa0",
+    "<style a=b>css</style>", "plain", "<br>", "&#65;", "tab\there",
+])
+
+
+@given(st.lists(_html_atoms, min_size=0, max_size=12), st.text(max_size=30))
+@settings(max_examples=300, deadline=None)
+def test_extract_one_pass_equals_per_line(parts, noise):
+    raw = ("".join(parts) + noise).encode("utf-8", errors="ignore")
+    assert extract_text(raw) == _extract_per_line(raw)
