@@ -20,9 +20,14 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Arrow for every pandas UDF / toPandas crossing.
+    # Arrow for every pandas UDF / toPandas crossing. Batch size is a
+    # first-order throughput lever for the fused pipeline UDF — measured
+    # at 960k docs/local[32]: 2048 → 72k docs/s, 8192 → 94k, 16384 →
+    # 93-100k, 32768 → 85k (regresses: batches outgrow cache). 8192 is
+    # the safe knee: ~80 MB/batch at a 10 KB-average web document, fine
+    # on modest executors, vs 2× that for ≤5% more at 16384.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "8192",
     # Every dimension table in this engine (lang table, stopword lists,
     # LM tables at the per-language grain) is << 64 MB: broadcast them all.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
