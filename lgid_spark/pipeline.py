@@ -295,3 +295,40 @@ def salted_repartition(df: DataFrame, key: str, salt_buckets: int = 16) -> DataF
 
 def host_of(url_col: Column) -> Column:
     return F.regexp_extract(url_col, r"https?://([^/]+)/", 1)
+
+
+def canonical_url(u: Column) -> Column:
+    """Canonical form of a web URL — the dedup/bucketing key a crawl
+    pipeline needs BEFORE url-exact dedup or url-hash partitioning
+    (two spellings of one page must land in the same bucket):
+
+      * drop the fragment (#…);
+      * lowercase scheme and host;
+      * strip the scheme-default port (:443 for https, :80 for http);
+      * strip one trailing slash from the path ('' and '/' both → '/');
+      * sort query parameters (?b=2&a=1 ≡ ?a=1&b=2), dropping a bare '?'.
+
+    Pure codegen SQL (regex + array ops — no UDF); the DuckDB twin in
+    queries/textops.py replays the same steps for the oracle."""
+    u = F.regexp_replace(u, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
+    host = (
+        F.when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .otherwise(hostport)
+    )
+    pathq = F.regexp_extract(rest, r"^[^/?]+(.*)$", 1)
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"/$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    sorted_q = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), lambda x: x != F.lit(""))),
+        "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q))
+        .otherwise(F.lit("")),
+    )

@@ -732,3 +732,91 @@ SELECT term, code,
 FROM occ WHERE n_occ > 0
 GROUP BY term, code, degree
 """
+
+
+# ---------------------------------------------------------------------------
+# url_canonical — URL canonicalization (round 3): the dedup/bucketing key
+# normalization every crawl pipeline runs before url-exact dedup. The
+# driver tables carry no messy URLs, so deterministic mess (case, default
+# ports, trailing slash, unsorted params, fragments) is synthesized from
+# md5(CAST(doc_id AS VARCHAR)) IDENTICALLY in both engines, then canonicalized: Spark via
+# functions.canonical_url (pure codegen SQL), DuckDB by replaying the
+# same steps.
+# ---------------------------------------------------------------------------
+
+def _messy_url_col():
+    did = F.col("doc_id").cast("string")
+    h = F.md5(did.cast("binary"))
+    b = lambda i: F.ascii(F.substring(h, i, 1))  # noqa: E731
+    return F.concat(
+        F.when(b(1) % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(b(2) % 2 == 0, F.lit("WWW.Site")).otherwise(F.lit("www.site")),
+        (b(3) % 20).cast("string"),
+        F.lit(".COM"),
+        F.when(b(4) % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"), did,
+        F.when(b(5) % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(b(6) % 2 == 0, F.lit("?z=9&a=1&m=5")).otherwise(F.lit("")),
+        F.when(b(7) % 4 == 0, F.lit("#SECTION-2")).otherwise(F.lit("")),
+    )
+
+
+@_q("url_canonical")
+def url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline import canonical_url
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return docs.select(
+        "doc_id",
+        _messy_url_col().alias("url_raw"),
+        canonical_url(_messy_url_col()).alias("url_canon"),
+    )
+
+
+_MESSY_URL_SQL = """
+  CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)),1,1)) % 2 = 0 THEN 'HTTPS' ELSE 'https' END ||
+  '://' ||
+  CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)),2,1)) % 2 = 0 THEN 'WWW.Site' ELSE 'www.site' END ||
+  CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)),3,1)) % 20 AS VARCHAR) || '.COM' ||
+  CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)),4,1)) % 3 = 0 THEN ':443' ELSE '' END ||
+  '/docs/' || CAST(doc_id AS VARCHAR) ||
+  CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)),5,1)) % 3 = 0 THEN '/' ELSE '' END ||
+  CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)),6,1)) % 2 = 0 THEN '?z=9&a=1&m=5' ELSE '' END ||
+  CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)),7,1)) % 4 = 0 THEN '#SECTION-2' ELSE '' END
+"""
+
+ORACLE_SQL["url_canonical"] = f"""
+WITH raw AS (
+  SELECT doc_id, ({_MESSY_URL_SQL}) AS url_raw FROM documents
+), defrag AS (
+  SELECT doc_id, url_raw, regexp_replace(url_raw, '#.*$', '') AS u FROM raw
+), parts AS (
+  SELECT doc_id, url_raw,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM defrag
+), hp AS (
+  SELECT doc_id, url_raw, scheme, rest,
+         lower(regexp_extract(rest, '^([^/?]+)', 1)) AS hostport,
+         regexp_extract(rest, '^[^/?]+(.*)$', 1) AS pathq
+  FROM parts
+), canon AS (
+  SELECT doc_id, url_raw, scheme,
+         CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+              WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+              ELSE hostport END AS host,
+         CASE WHEN regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/$', '') = ''
+              THEN '/'
+              ELSE regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/$', '') END AS path,
+         array_to_string(
+           list_sort(list_filter(string_split(
+             regexp_extract(pathq, '\\?(.*)$', 1), '&'), x -> x <> '')),
+           '&') AS sorted_q
+  FROM hp
+)
+SELECT doc_id, url_raw,
+       scheme || '://' || host || path ||
+       CASE WHEN sorted_q <> '' THEN '?' || sorted_q ELSE '' END AS url_canon
+FROM canon
+"""

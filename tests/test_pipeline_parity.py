@@ -90,3 +90,23 @@ def test_labels_only_diet_matches_full(spark):
     key = lambda r: r.url  # noqa: E731
     assert sorted(map(tuple, full), key=lambda t: t[0]) == \
         sorted(map(tuple, diet), key=lambda t: t[0])
+
+
+def test_canonical_url_semantics(spark):
+    """URL canonicalization edge cases: fragments, default ports, case,
+    trailing slash, param ordering, bare '?'."""
+    from lgid_spark.functions import canonical_url
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/a/?b=2&a=1#f", "https://www.ex.com/a?a=1&b=2"),
+        ("http://Ex.com:80/", "http://ex.com/"),
+        ("http://ex.com:8080/p", "http://ex.com:8080/p"),  # non-default kept
+        ("https://ex.com", "https://ex.com/"),
+        ("https://ex.com/x/y/", "https://ex.com/x/y"),
+        ("https://ex.com/x?", "https://ex.com/x"),
+        ("https://ex.com:80/x", "https://ex.com:80/x"),  # 80 not https-default
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], ["u"])
+    got = [r[0] for r in df.select(canonical_url(F.col("u"))).collect()]
+    assert got == [want for _, want in cases]
