@@ -115,7 +115,7 @@ RETIRED_ORACLE_SQL = {n: ORACLE_SQL.pop(n) for n in RETIRED}
 
 _FIRST = [
     # round-3 additions / never driver-checked
-    "url_canonical", "pipeline_webpages_synthetic", "salted_host_agg", "salted_host_join",
+    "url_canonical", "line_dedup_stats", "pipeline_webpages_synthetic", "salted_host_agg", "salted_host_join",
     "per_file_accuracy", "distinct_aggs", "events_json_stats",
     "pipeline_keep_stats",
     # round-2 tail that only just got checked once

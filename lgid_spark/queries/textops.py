@@ -820,3 +820,59 @@ SELECT doc_id, url_raw,
        CASE WHEN sorted_q <> '' THEN '?' || sorted_q ELSE '' END AS url_canon
 FROM canon
 """
+
+
+# ---------------------------------------------------------------------------
+# line_dedup_stats — C4-style cross-document span dedup (round 3): "we
+# discard all but one of any three-sentence span occurring more than
+# once" (C4/T5 paper §2.2) at the line grain: across the WHOLE corpus
+# each eligible line (≥10 chars — blank/short lines are formatting, not
+# content, and must survive) keeps only its FIRST occurrence in
+# (url, position) order. The deterministic web_pages generator includes
+# repeated-spam docs, so the dedup is exercised for real (43 duplicated
+# lines / 271 occurrences at 500 docs).
+#
+# Scale shape: one shuffle on the line hash (the window partition key) —
+# at 10^12 docs this is the same per-span groupBy C4 runs; the
+# first-occurrence rule stays deterministic under any partitioning.
+# ---------------------------------------------------------------------------
+
+def _line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datagen import spark_web_pages
+
+    pages = spark_web_pages(spark, 500).select("url", "lang", "text")
+    lines = pages.select(
+        "url", "lang",
+        F.posexplode(F.split("text", "\n")).alias("pos", "line"),
+    )
+    w = Window.partitionBy("line").orderBy("url", "pos")
+    marked = lines.withColumn(
+        "keep",
+        F.when(F.length("line") < 10, F.lit(True))
+        .otherwise(F.row_number().over(w) == 1),
+    )
+    return (
+        marked.groupBy("lang")
+        .agg(
+            F.countDistinct("url").alias("n_docs"),
+            F.count("*").alias("lines_before"),
+            F.sum(F.col("keep").cast("long")).alias("lines_after"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["line_dedup_stats"] = _line_dedup_stats
+
+# input-independent (deterministic 500-doc generator) → golden VALUES
+# oracle; pure counts, partitioning-invariant (first-occurrence rule is
+# a total order on (url, pos)).
+ORACLE_SQL["line_dedup_stats"] = """
+SELECT * FROM (VALUES
+  ('deu', CAST(78 AS BIGINT), CAST(491 AS BIGINT), CAST(430 AS BIGINT)),
+  ('eng', CAST(97 AS BIGINT), CAST(608 AS BIGINT), CAST(574 AS BIGINT)),
+  ('fra', CAST(104 AS BIGINT), CAST(673 AS BIGINT), CAST(646 AS BIGINT)),
+  ('spa', CAST(105 AS BIGINT), CAST(672 AS BIGINT), CAST(594 AS BIGINT)),
+  ('tok', CAST(116 AS BIGINT), CAST(710 AS BIGINT), CAST(682 AS BIGINT))
+) AS t(lang, n_docs, lines_before, lines_after)
+"""
