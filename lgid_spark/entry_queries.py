@@ -123,6 +123,9 @@ _FIRST = [
     "simhash_near_pairs", "ivf_topk", "mention_recall",
 ]
 _LAST = [
+    # driver-green in BOTH r1 and r2 and pytest/golden-covered — the
+    # least-risky rows to fall outside the ~50 cap
+    "segment_setops", "accent_fold",
     # each dominated by a retained superset (noted next to each)
     "minhash_signatures",   # ⊂ minhash_jaccard_pairs
     "lsh_band_buckets",     # ⊂ minhash_jaccard_pairs
