@@ -297,6 +297,37 @@ def host_of(url_col: Column) -> Column:
     return F.regexp_extract(url_col, r"https?://([^/]+)/", 1)
 
 
+def apply_domain_blocklist(
+    df: DataFrame,
+    blocked_hosts: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Optional post-filter stage: add a 'blocked_domain' drop reason
+    for rows whose url host appears in a blocklist (the UT1-style
+    domain blocklists every production crawl filter consults).
+
+    `blocked_hosts` is a one-column (`host`) frame — a true bounded
+    dimension (even the largest public blocklists are a few million
+    rows), so it is force-broadcast; `drop_reasons` stays sorted (the
+    pipeline's invariant) and `keep` is recomputed. Not part of the
+    default pipeline: keep/drop goldens and reference parity are
+    blocklist-free."""
+    dim = F.broadcast(
+        blocked_hosts.select(F.col("host")).distinct()
+        .withColumn("_blocked", F.lit(True)))
+    out = df.join(dim, host_of(F.col(url_col)) == F.col("host"), "left")
+    out = out.withColumn(
+        "drop_reasons",
+        F.when(
+            F.col("_blocked"),
+            F.array_sort(F.array_union(
+                F.col("drop_reasons"), F.array(F.lit("blocked_domain")))),
+        ).otherwise(F.col("drop_reasons")),
+    )
+    return out.withColumn(
+        "keep", F.size("drop_reasons") == 0).drop("host", "_blocked")
+
+
 def canonical_url(u: Column) -> Column:
     """Canonical form of a web URL — the dedup/bucketing key a crawl
     pipeline needs BEFORE url-exact dedup or url-hash partitioning

@@ -110,3 +110,34 @@ def test_canonical_url_semantics(spark):
     df = spark.createDataFrame([(r,) for r, _ in cases], ["u"])
     got = [r[0] for r in df.select(canonical_url(F.col("u"))).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_domain_blocklist_stage(spark):
+    """Optional blocklist stage: blocked hosts gain a sorted
+    'blocked_domain' drop reason and flip keep; others untouched."""
+    from lgid_spark.pipeline import apply_domain_blocklist, quality_pipeline
+
+    pages = spark_web_pages(spark, 60)
+    out = quality_pipeline(spark, pages)
+    hosts = (
+        out.selectExpr("regexp_extract(url, 'https?://([^/]+)/', 1) AS h")
+        .distinct().limit(1).collect()
+    )
+    blocked_host = hosts[0]["h"]
+    bl = spark.createDataFrame([(blocked_host,)], ["host"])
+    filtered = apply_domain_blocklist(out, bl)
+
+    rows = {r.url: r for r in filtered.collect()}
+    base = {r.url: r for r in out.collect()}
+    n_blocked = 0
+    for url, r in rows.items():
+        if url.startswith(("http://" + blocked_host, "https://" + blocked_host)):
+            n_blocked += 1
+            assert "blocked_domain" in r.drop_reasons
+            assert r.drop_reasons == sorted(r.drop_reasons)
+            assert not r.keep
+        else:
+            assert list(r.drop_reasons) == list(base[url].drop_reasons)
+            assert r.keep == base[url].keep
+    assert n_blocked > 0
+    assert len(rows) == len(base)
