@@ -109,24 +109,31 @@ def _warm_python_workers(spark) -> None:
 
 
 def _run_pipeline(spark, n_docs: int, warm: bool = True,
-                  labels_only: bool = False) -> float:
+                  labels_only: bool = False,
+                  production: bool = False) -> float:
     """Flagship filter throughput: web_pages parquet → full pipeline.
 
-    labels_only=True benches the Arrow-diet variant (emit flags off in
-    quality_pipeline): the consumer here only aggregates `keep`, and
-    Catalyst cannot prune INSIDE a pandas-UDF struct, so the default
-    variant ships extracted+scrubbed text back over Arrow anyway —
-    the delta between the two numbers is the measured text-column
-    Arrow+scrub cost per doc."""
+    Three emit shapes:
+      * default — extracted+scrubbed text both returned (round-over-
+        round comparable headline; Catalyst cannot prune INSIDE a
+        pandas-UDF struct, so both text columns cross Arrow even
+        though only `keep` is aggregated here);
+      * production=True — scrubbed only (run_filter's default output
+        schema: the scrubbed text IS the product);
+      * labels_only=True — no text at all (the Arrow-diet floor).
+    The deltas between the three are the measured per-text-column
+    Arrow + scrub cost."""
     from lgid_spark.pipeline import quality_pipeline
 
     path = _materialize_pages(spark, n_docs)
     if warm:
         _warm_python_workers(spark)
+    emit_extracted = not (labels_only or production)
+    emit_scrubbed = not labels_only
     t0 = time.time()
     quality_pipeline(
         spark, spark.read.parquet(path),
-        emit_extracted=not labels_only, emit_scrubbed=not labels_only,
+        emit_extracted=emit_extracted, emit_scrubbed=emit_scrubbed,
     ).select("keep").groupBy("keep").count().collect()
     return time.time() - t0
 
@@ -265,6 +272,10 @@ def main() -> None:
     pipe_sec = _run_pipeline(spark, PIPELINE_DOCS)
     docs_per_sec = round(PIPELINE_DOCS / pipe_sec, 1)
     queries["filter_pipeline"] = round(pipe_sec, 3)
+    # production shape (scrubbed only — run_filter's default output)
+    prod_sec = _run_pipeline(spark, PIPELINE_DOCS, warm=False,
+                             production=True)
+    queries["filter_pipeline_production"] = round(prod_sec, 3)
     # Arrow-diet variant (emit flags off): same input, keep/drop labels
     # only — the delta vs filter_pipeline is the per-doc cost of
     # shipping extracted+scrubbed text over Arrow plus the scrub regex
@@ -281,6 +292,7 @@ def main() -> None:
     r1_set_total = round(
         sum(v for k, v in queries.items()
             if k not in ("filter_pipeline", "filter_pipeline_labels_only",
+                         "filter_pipeline_production",
                          "lm_match_ratio_stats",
                          "word_int_index", "mention_recall")), 3)
     result = {
@@ -293,6 +305,7 @@ def main() -> None:
         "cpus": cpus,
         "cold_pass_sec": cold_total,
         "filter_docs_per_sec": docs_per_sec,
+        "filter_production_docs_per_sec": round(PIPELINE_DOCS / prod_sec, 1),
         "filter_labels_only_docs_per_sec": round(PIPELINE_DOCS / diet_sec, 1),
         "pipeline_docs": PIPELINE_DOCS,
     }
