@@ -228,6 +228,17 @@ def score(instances: DataFrame, model,
 
     if num_features is None:
         num_features = getattr(model, "numFeatures", None) or N_FEATURES
+    from pyspark.ml import PipelineModel
+
+    if isinstance(model, PipelineModel):
+        sel = model.stages[0]
+        selected = getattr(sel, "selectedFeatures", None)
+        if selected is not None and selected and max(selected) >= num_features:
+            raise ValueError(
+                f"hash width mismatch: model selects feature index "
+                f"{max(selected)} but scoring uses num_features="
+                f"{num_features}; pass the training width (load_model "
+                f"returns it from the sidecar)")
     vec = vectorize(instances, num_features)
     out = model.transform(vec)
     p_true = F.element_at(vector_to_array(F.col("probability")), 2)

@@ -206,3 +206,17 @@ def test_gbt_learner(spark, instances):
     model = train(instances, select_k=4, num_features=1024, learner="gbt")
     best = best_candidates(score(instances, model, 1024)).collect()
     assert sum(1 for r in best if r.label) / len(best) == 1.0
+
+
+def test_score_width_mismatch_raises(spark, instances):
+    """ADVICE r2 tail: scoring a chi²-pipeline model at the wrong hash
+    width used to silently mis-hash; a provable mismatch (a selected
+    index beyond the scoring width) now raises."""
+    model = train(instances, select_k=4, num_features=4096)
+    sel_max = max(model.stages[0].selectedFeatures)
+    if sel_max >= 64:  # fixture-dependent but overwhelmingly likely
+        with pytest.raises(ValueError, match="hash width mismatch"):
+            score(instances, model, 64).collect()
+    # correct width still fine
+    best = best_candidates(score(instances, model, 4096)).collect()
+    assert sum(1 for r in best if r.label) / len(best) == 1.0
