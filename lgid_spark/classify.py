@@ -414,30 +414,45 @@ def strict_cross_validate(
     cand_codes = base.select(
         "doc_id", F.col("lang_code").alias("code")).distinct()
     lm_keys = ["doc_id", "span_id", "lineno", "code"]
+    # honor feature_config here too: build_instances gated its own
+    # features, but the per-fold LM flags are appended HERE, so an
+    # unfiltered map would silently re-enable disabled L-LM* features
+    # under --strict-cv (ADVICE r3)
+    fconfig = feature_kwargs.get("feature_config")
     lm_entries = _lm_flag_entries(ODIN_FAMILIES)
+    if fconfig:
+        lm_entries = [(n, c) for n, c in lm_entries
+                      if _feature_enabled(n, fconfig)]
     lm_map = F.map_from_arrays(
         F.array(*[F.lit(n) for n, _ in lm_entries]),
         F.array(*[c for _, c in lm_entries]),
-    )
+    ) if lm_entries else None
     results: list[dict] = []
     try:
         for fold in range(k):
             if base.where(F.col("_fold") == fold).limit(1).count() == 0:
                 continue
-            # reference gram sizes: char 3, word 1, morpheme 2
-            # (config.ini:24-26); LM text = TRAIN-fold L-lines only
-            fold_lm = build_lm_ngrams(
-                gold_l_all.where(F.col("_fold") != fold),
-                char_n=3, word_n=1, morph_n=2)
-            piv = _pivot_ratios(
-                lm_line_match_ratios(
-                    l_keys, cand_codes, fold_lm, ODIN_FAMILIES),
-                ODIN_FAMILIES, keys=lm_keys)
-            inst = base.withColumnRenamed("lang_code", "code").join(
-                piv, lm_keys, "left"
-            ).withColumn(
-                "feats", F.map_concat("feats", lm_map)
-            ).withColumnRenamed("code", "lang_code").persist()
+            if lm_map is not None:
+                # reference gram sizes: char 3, word 1, morpheme 2
+                # (config.ini:24-26); LM text = TRAIN-fold L-lines only
+                fold_lm = build_lm_ngrams(
+                    gold_l_all.where(F.col("_fold") != fold),
+                    char_n=3, word_n=1, morph_n=2)
+                piv = _pivot_ratios(
+                    lm_line_match_ratios(
+                        l_keys, cand_codes, fold_lm, ODIN_FAMILIES),
+                    ODIN_FAMILIES, keys=lm_keys)
+                inst = base.withColumnRenamed("lang_code", "code").join(
+                    piv, lm_keys, "left"
+                ).withColumn(
+                    "feats", F.map_concat("feats", lm_map)
+                ).withColumnRenamed("code", "lang_code").persist()
+            else:
+                # every LM flag disabled by config: skip the per-fold
+                # LM build entirely — the fold model trains on the
+                # (already config-filtered) base features alone.
+                # base is already persisted; don't re-persist/unpersist.
+                inst = base
             model = train(inst.where(F.col("_fold") != fold),
                           num_features=num_features)
             best = best_candidates(score(
@@ -446,7 +461,8 @@ def strict_cross_validate(
                 F.count("*").alias("n"),
                 F.sum(F.col("label").cast("long")).alias("n_right"),
             ).collect()[0]
-            inst.unpersist()
+            if inst is not base:
+                inst.unpersist()
             results.append({
                 "fold": fold,
                 "n_groups": agg["n"],

@@ -71,6 +71,36 @@ def lineage_rows(labelled: DataFrame, snapshot_id: str) -> DataFrame:
     )
 
 
+def _check_append_schema(
+    spark: SparkSession, output_path: str, new_cols: list[str]
+) -> None:
+    """Fail fast instead of silently creating a mixed-schema dataset.
+
+    Appending rows with a different column set (e.g. alternating
+    --emit-extracted across snapshots, or resuming a pre-flag dataset
+    with the new default) writes footers with differing schemas into
+    ONE parquet dataset; readers without mergeSchema then see
+    extracted_text or not depending on which footer Spark samples
+    (ADVICE r3). Migration for an existing mixed/pre-change dataset:
+    one-time compaction — read with mergeSchema=true, select the
+    desired column set, rewrite, then resume appending."""
+    if not os.path.exists(output_path):
+        return
+    try:
+        existing = spark.read.option("mergeSchema", "true").parquet(
+            output_path).schema.names
+    except Exception:  # empty dir / no footers yet — nothing to clash
+        return
+    if set(existing) != set(new_cols):
+        raise ValueError(
+            "run_incremental: output dataset at %r has columns %s but "
+            "this run would append columns %s (emit flags changed?). "
+            "Re-run with the matching emit shape, or compact the "
+            "dataset once (read mergeSchema=true, select the desired "
+            "columns, rewrite) before resuming."
+            % (output_path, sorted(existing), sorted(new_cols)))
+
+
 def committed_buckets(spark: SparkSession, metrics_path: str) -> DataFrame:
     """Buckets already recorded in the metrics table (empty frame if the
     table doesn't exist yet)."""
@@ -104,6 +134,7 @@ def run_incremental(
     labelled = quality_pipeline(
         spark, web_pages, n_buckets=n_buckets,
         emit_extracted=emit_extracted)
+    _check_append_schema(spark, output_path, labelled.schema.names)
     done = committed_buckets(spark, metrics_path)
     todo = labelled.join(F.broadcast(done), "bucket", "left_anti")
 

@@ -287,3 +287,24 @@ def test_per_file_accuracy(spark, lines):
     assert [r.doc_id for r in rows] == [f"doc{d}" for d in range(6)]
     for r in rows:
         assert r.n_lines == 1 and r.accuracy == 1.0
+
+
+def test_strict_cv_honors_feature_config(spark, lines, monkeypatch):
+    """ADVICE r3: strict_cross_validate used to map_concat ALL ODIN LM
+    threshold flags onto the per-fold feature map regardless of
+    feature_config, silently re-enabling disabled LM features in LM
+    ablations. With every L-LM* family disabled, the per-fold LM must
+    not even be built (proven by poisoning build_lm_ngrams)."""
+    import lgid_spark.operators.lm as lm_mod
+    from lgid_spark.classify import strict_cross_validate
+
+    def _boom(*a, **k):
+        raise AssertionError(
+            "build_lm_ngrams called despite all LM features disabled")
+
+    monkeypatch.setattr(lm_mod, "build_lm_ngrams", _boom)
+    lm_off = {"L-LMw": False, "L-LMc": False, "L-LMm": False}
+    res = strict_cross_validate(
+        spark, lines, LANG_TABLE, k=2, num_features=256,
+        feature_config=lm_off)
+    assert res and all(0.0 <= r["accuracy"] <= 1.0 for r in res)

@@ -104,3 +104,21 @@ def test_bucket_partition_pruning_on_readback(spark, tmp_path):
     frag = plan.split("PartitionFilters")[1][:120]
     assert "bucket" in frag  # the filter reached the partition pruner
     assert df.count() > 0
+
+
+def test_append_schema_guard(spark, paths):
+    """ADVICE r3: flipping emit_extracted between snapshots would append
+    a different column set into one parquet dataset (mixed footers).
+    run_incremental must fail fast instead, and still work when the
+    emit shape matches the existing dataset."""
+    out, metrics = paths
+    pages = spark_web_pages(spark, N)
+    run_incremental(spark, pages, out, metrics, "snap1", N_BUCKETS,
+                    emit_extracted=True)
+    with pytest.raises(ValueError, match="emit"):
+        run_incremental(spark, pages, out, metrics, "snap2", N_BUCKETS,
+                        emit_extracted=False)
+    # matching shape on a complete dataset: clean no-op, no raise
+    r = run_incremental(spark, pages, out, metrics, "snap3", N_BUCKETS,
+                        emit_extracted=True)
+    assert r == {"processed_rows": 0, "processed_buckets": 0}

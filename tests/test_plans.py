@@ -213,3 +213,42 @@ def test_pipeline_is_shuffle_free(spark):
     plan = _plan(out.select("url", "keep"))
     # narrow map end-to-end: no Exchange until someone aggregates
     assert "Exchange" not in plan
+
+
+def test_line_dedup_first_occurrence_has_map_side_combine(spark):
+    """Round-4 skew fix (VERDICT r3): the C4-style first-occurrence rule
+    must be a partial_min aggregate (map-side combine) + join, never a
+    row_number window over partitionBy(line) — a window has no partial
+    aggregation, so one viral boilerplate line would shuffle every
+    occurrence to a single task at crawl scale."""
+    from pyspark.sql import functions as F
+
+    from lgid_spark.queries.textops import mark_first_occurrence
+
+    # one viral line duplicated 100k times across many urls + uniques
+    n = 100_000
+    viral = spark.range(n).select(
+        F.concat(F.lit("http://h"), F.col("id")).alias("url"),
+        F.lit(0).alias("pos"),
+        F.lit("All rights reserved. Do not reproduce.").alias("line"),
+    )
+    uniq = spark.range(1000).select(
+        F.concat(F.lit("http://u"), F.col("id")).alias("url"),
+        F.lit(1).alias("pos"),
+        F.concat(F.lit("unique content line "), F.col("id")).alias("line"),
+    )
+    marked = mark_first_occurrence(viral.unionAll(uniq))
+    plan = marked._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # the skew-unsafe shape is gone
+    assert "partial_min" in plan  # map-side combine before the exchange
+
+    agg = marked.agg(
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.count("*").alias("total"),
+    ).collect()[0]
+    # exactly one of the 100k viral occurrences survives; the winner is
+    # the min (url, pos) — deterministic under any partitioning
+    assert agg["total"] == n + 1000
+    assert agg["kept"] == 1 + 1000
+    winner = marked.where("keep AND pos = 0").collect()
+    assert [r["url"] for r in winner] == ["http://h0"]
