@@ -132,6 +132,38 @@ def row(i: int) -> dict:
     }
 
 
+DUP_EVERY = 4  # spark_web_pages_with_dups: every 4th page gets a twin
+
+
+def messy_url_for(i: int) -> str:
+    """A deterministic alternate spelling of url_for(i) that
+    canonical_url maps back to the same page: uppercase scheme/host,
+    scheme-default port, trailing slash, fragment — variant chosen by
+    the row hash so the mix is stable."""
+    base = url_for(i)  # https://host{h}.example/page/{i}
+    rest = base[len("https://"):]
+    host, path = rest.split("/", 1)
+    v = _h64(SEED, "dupv", i)
+    scheme = "HTTPS" if v % 2 == 0 else "https"
+    if v % 3 == 0:
+        host = host.upper()
+    port = ":443" if v % 5 == 0 else ""
+    tail = "/" if v % 7 == 0 else ""
+    frag = "#dup" if v % 2 == 1 else ""
+    return f"{scheme}://{host}{port}/{path}{tail}{frag}"
+
+
+def dup_row(i: int) -> dict:
+    """Exact-duplicate twin of row(i): same html/text under a messy
+    spelling of the url, crawled an hour later — so canonical-url
+    exact dedup must collapse the pair and keep the ORIGINAL row
+    (min (warc_ts, url) order)."""
+    r = row(i)
+    r["url"] = messy_url_for(i)
+    r["warc_ts"] = r["warc_ts"] + _dt.timedelta(seconds=3600)
+    return r
+
+
 def pandas_web_pages(n: int, start: int = 0):
     """Small-scale eager generation → pandas DataFrame (tests / oracle)."""
     import pandas as pd
@@ -173,3 +205,38 @@ def spark_web_pages(spark, n: int):
         spark.range(0, n, 1, n_parts)
         .mapInPandas(gen, schema=schema)
     )
+
+
+def spark_web_pages_with_dups(spark, n: int, every: int = DUP_EVERY):
+    """Dup-saturated corpus: the n base pages plus a messy-url exact
+    twin (dup_row) for every ``every``-th page — n + n//every rows in
+    which two spellings of one page must collapse to the original
+    under canonical-url dedup. Same distributed mapInPandas shape as
+    spark_web_pages."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rows.append(row(i))
+                if i % every == 0:
+                    rows.append(dup_row(i))
+            out = pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"])
+            out["warc_ts"] = pd.to_datetime(out["warc_ts"]).dt.tz_localize(None)
+            yield out
+
+    n_parts = max(1, min(32, n // 64 or 1))
+    return spark.range(0, n, 1, n_parts).mapInPandas(gen, schema=schema)

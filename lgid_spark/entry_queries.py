@@ -70,8 +70,33 @@ def _pipeline_webpages_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipeline_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 composed production shape: dup-saturated synthetic
+    corpus → canonical-url exact dedup → quality pipeline, with the
+    collapse counts surviving into the output (dup_count). Golden
+    VALUES oracle (input-independent deterministic generator)."""
+    from .datagen import spark_web_pages_with_dups
+    from .pipeline import exact_dedup_pages
+
+    pages = spark_web_pages_with_dups(spark, 400)
+    out = quality_pipeline(
+        spark, exact_dedup_pages(pages, 16),
+        emit_extracted=False, emit_scrubbed=False,
+        extra_cols=("dup_count",))
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("dup_count") - 1).alias("dedup_dropped"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES["pipeline_keep_stats"] = _pipeline_keep_stats
 QUERIES["pipeline_webpages_synthetic"] = _pipeline_webpages_synthetic
+QUERIES["pipeline_dedup_stats"] = _pipeline_dedup_stats
 
 # pipeline_webpages_synthetic is input-independent (deterministic
 # generator, 500 docs) → golden VALUES oracle; the aggregates are counts
@@ -89,6 +114,20 @@ SELECT * FROM (VALUES
   ('fra', false, CAST(35 AS BIGINT), CAST(103243.31 AS DOUBLE)),
   ('deu', true,  CAST(55 AS BIGINT), CAST(21394.74 AS DOUBLE))
 ) AS t(lang_pred, keep, n, mean_ppl)
+"""
+
+# pipeline_dedup_stats is input-independent (deterministic dup-bearing
+# 400-doc generator) → golden VALUES oracle; counts only, so the values
+# are partitioning-invariant and the first-occurrence winner rule is a
+# total order (min (warc_ts, url, …)).
+ORACLE_SQL["pipeline_dedup_stats"] = """
+SELECT * FROM (VALUES
+  ('deu', CAST(61 AS BIGINT), CAST(13 AS BIGINT), CAST(45 AS BIGINT)),
+  ('eng', CAST(75 AS BIGINT), CAST(18 AS BIGINT), CAST(57 AS BIGINT)),
+  ('fra', CAST(82 AS BIGINT), CAST(22 AS BIGINT), CAST(60 AS BIGINT)),
+  ('spa', CAST(87 AS BIGINT), CAST(25 AS BIGINT), CAST(64 AS BIGINT)),
+  ('tok', CAST(95 AS BIGINT), CAST(22 AS BIGINT), CAST(75 AS BIGINT))
+) AS t(lang, n_docs, dedup_dropped, n_keep)
 """
 
 # pipeline_keep_stats stays rows-only: it aggregates the flagship
@@ -109,24 +148,17 @@ SELECT * FROM (VALUES
 # same DuckDB oracles instead (tests/test_retired_queries.py).
 # ---------------------------------------------------------------------------
 
-RETIRED = ("q5_nation_volume", "orders_by_month")
-RETIRED_QUERIES = {n: QUERIES.pop(n) for n in RETIRED}
-RETIRED_ORACLE_SQL = {n: ORACLE_SQL.pop(n) for n in RETIRED}
-
-_FIRST = [
-    # round-3 additions / never driver-checked
-    "url_canonical", "line_dedup_stats", "pipeline_webpages_synthetic", "salted_host_agg", "salted_host_join",
-    "per_file_accuracy", "distinct_aggs", "events_json_stats",
-    "pipeline_keep_stats",
-    # round-2 tail that only just got checked once
-    "value_percentiles", "dup_components", "emb_near_dup_pairs",
-    "simhash_near_pairs", "ivf_topk", "mention_recall",
-]
-_LAST = [
-    # driver-green in BOTH r1 and r2 and pytest/golden-covered — the
-    # least-risky rows to fall outside the ~50 cap
+# Round 4 (VERDICT r3 item 3): the former `_LAST` tail — 9 queries each
+# dominated by a retained superset or twice driver-proven — is RETIRED
+# outright, plus rollup_pricing (grouping-sets twin of
+# q1_pricing_summary over the same aggregates). All 12 retired queries
+# run against their original DuckDB oracles every suite run via
+# tests/test_retired_queries.py, and the driver's ~50-entry cap now
+# covers the remaining registry EXACTLY — every registry entry gets a
+# driver-green row by construction, not by ordering discipline.
+RETIRED = (
+    "q5_nation_volume", "orders_by_month",
     "segment_setops", "accent_fold",
-    # each dominated by a retained superset (noted next to each)
     "minhash_signatures",   # ⊂ minhash_jaccard_pairs
     "lsh_band_buckets",     # ⊂ minhash_jaccard_pairs
     "simhash",              # ⊂ simhash_near_pairs
@@ -134,7 +166,23 @@ _LAST = [
     "word_bigram_counts",   # ⊂ lm_word_bigrams
     "token_stats",          # ⊂ bpe_token_stats (same tokenize surface)
     "session_bounds",       # ⊂ sessionize (same session assembly)
+    "rollup_pricing",       # grouping-sets twin of q1_pricing_summary
+)
+RETIRED_QUERIES = {n: QUERIES.pop(n) for n in RETIRED}
+RETIRED_ORACLE_SQL = {n: ORACLE_SQL.pop(n) for n in RETIRED}
+
+_FIRST = [
+    # round-4 additions / never driver-checked
+    "pipeline_dedup_stats",
+    # round-3 additions, driver-checked once in r3
+    "url_canonical", "line_dedup_stats", "pipeline_webpages_synthetic", "salted_host_agg", "salted_host_join",
+    "per_file_accuracy", "distinct_aggs", "events_json_stats",
+    "pipeline_keep_stats",
+    # round-2 tail that only just got checked once
+    "value_percentiles", "dup_components", "emb_near_dup_pairs",
+    "simhash_near_pairs", "ivf_topk", "mention_recall",
 ]
+_LAST: list[str] = []  # empty by design: registry == driver coverage
 
 
 def _reorder(d: dict) -> dict:

@@ -110,9 +110,22 @@ def main(argv: list[str] | None = None) -> int:
     model = None
     num_features = args.num_features
     if args.model:
+        import os
+
         from lgid_spark.operators.classifier import load_model
 
-        model, num_features = load_model(args.model)
+        model, sidecar_nf = load_model(args.model)
+        if os.path.exists(os.path.join(args.model, "_lgid_meta.json")):
+            # the sidecar records the true training width — authoritative
+            if args.num_features and args.num_features != sidecar_nf:
+                raise SystemExit(
+                    f"--num-features {args.num_features} conflicts with "
+                    f"the model sidecar's training width {sidecar_nf}")
+            num_features = sidecar_nf
+        else:
+            # sidecar-less artifact: load_model can only guess the
+            # width, so an explicit --num-features wins (ADVICE r3)
+            num_features = args.num_features or sidecar_nf
 
     feature_kwargs = {}
     if args.odin_lm:

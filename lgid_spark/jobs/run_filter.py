@@ -33,6 +33,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--emit-extracted", action="store_true",
                     help="also write pre-scrub extracted_text (debug/"
                          "parity; ~2x text bytes through Arrow + output)")
+    ap.add_argument("--no-dedup", action="store_true",
+                    help="skip the canonical-url exact-dedup stage "
+                         "(on by default; duplicates then cost full "
+                         "UDF work and land twice in the output)")
+    ap.add_argument("--near-dup", action="store_true",
+                    help="also drop near-duplicate documents (MinHash "
+                         "bands -> exact Jaccard -> connected "
+                         "components; keeps the min-url doc per "
+                         "component)")
+    ap.add_argument("--near-dup-jaccard", type=float, default=0.9,
+                    help="Jaccard threshold for --near-dup (default 0.9)")
     args = ap.parse_args(argv)
 
     from lgid_spark.session import get_submit_spark
@@ -40,10 +51,13 @@ def main(argv: list[str] | None = None) -> int:
     # under spark-submit the session/master comes from the launcher
     spark = get_submit_spark("lgid_filter")
 
-    from lgid_spark.datagen import spark_web_pages
+    from lgid_spark.datagen import spark_web_pages, spark_web_pages_with_dups
     from lgid_spark.lineage import run_incremental
 
-    if args.input.startswith("synth:"):
+    if args.input.startswith("synthdup:"):
+        pages = spark_web_pages_with_dups(
+            spark, int(args.input.split(":", 1)[1]))
+    elif args.input.startswith("synth:"):
         pages = spark_web_pages(spark, int(args.input.split(":", 1)[1]))
     else:
         pages = spark.read.parquet(args.input)
@@ -52,7 +66,10 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.time()
     res = run_incremental(
         spark, pages, args.output, args.metrics, snapshot, args.buckets,
-        emit_extracted=args.emit_extracted)
+        emit_extracted=args.emit_extracted,
+        dedup=not args.no_dedup,
+        near_dup=args.near_dup,
+        near_dup_jaccard=args.near_dup_jaccard)
     res.update({"snapshot_id": snapshot, "sec": round(time.time() - t0, 2)})
     print(json.dumps(res))
     return 0

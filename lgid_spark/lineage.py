@@ -29,25 +29,47 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .pipeline import quality_pipeline
+from .pipeline import (
+    exact_dedup_pages,
+    near_dup_losers,
+    quality_pipeline,
+    with_bucket,
+)
 
 METRICS_SCHEMA = (
     "bucket int, snapshot_id string, input_count long, kept_count long, "
+    "dedup_dropped long, near_dup_dropped long, "
     "drop_hist map<string,bigint>, checksum bigint"
 )
 
 
-def lineage_rows(labelled: DataFrame, snapshot_id: str) -> DataFrame:
-    """One row per bucket: counts, drop-reason histogram, checksum.
+def lineage_rows(
+    labelled: DataFrame,
+    snapshot_id: str,
+    near_dup_counts: DataFrame | None = None,
+) -> DataFrame:
+    """One row per bucket: counts, dedup drops, drop-reason histogram,
+    checksum.
 
     Single shuffle on the low-cardinality bucket key; the histogram is
-    built map-side-combinable (explode → count → map_from_entries)."""
+    built map-side-combinable (explode → count → map_from_entries).
+    ``dedup_dropped`` comes from the exact-dedup stage's dup_count
+    column when present (Σ(dup_count − 1) per bucket — how many
+    duplicate spellings/copies were collapsed before the UDF pass);
+    ``near_dup_counts`` is the optional (bucket, near_dup_dropped)
+    frame from the near-dup stage."""
+    has_dup = "dup_count" in labelled.columns
     base = labelled.select(
-        "bucket", "url", "keep", "drop_reasons", "scrubbed_text"
+        "bucket", "url", "keep", "drop_reasons", "scrubbed_text",
+        *(["dup_count"] if has_dup else []),
     )
+    dedup_agg = (
+        F.sum(F.col("dup_count") - 1) if has_dup else F.lit(0)
+    ).cast("long").alias("dedup_dropped")
     counts = base.groupBy("bucket").agg(
         F.count("*").alias("input_count"),
         F.sum(F.col("keep").cast("long")).alias("kept_count"),
+        dedup_agg,
         F.expr("bit_xor(xxhash64(concat(url, scrubbed_text)))").alias("checksum"),
     )
     hist = (
@@ -61,12 +83,25 @@ def lineage_rows(labelled: DataFrame, snapshot_id: str) -> DataFrame:
             ).alias("drop_hist")
         )
     )
+    out = counts.join(hist, "bucket", "left")
+    if near_dup_counts is not None:
+        out = out.drop("near_dup_dropped").join(
+            F.broadcast(near_dup_counts), "bucket", "left")
+        nd = F.coalesce(F.col("near_dup_dropped"), F.lit(0)).cast("long")
+        if "loser_dedup_dropped" in near_dup_counts.columns:
+            # dedup drops that left the labelled frame with the losers
+            out = out.withColumn(
+                "dedup_dropped",
+                F.col("dedup_dropped")
+                + F.coalesce(F.col("loser_dedup_dropped"), F.lit(0)))
+    else:
+        nd = F.lit(0).cast("long")
     return (
-        counts.join(hist, "bucket", "left")
+        out.withColumn("near_dup_dropped", nd)
         .withColumn("snapshot_id", F.lit(snapshot_id))
         .select(
             "bucket", "snapshot_id", "input_count", "kept_count",
-            "drop_hist", "checksum",
+            "dedup_dropped", "near_dup_dropped", "drop_hist", "checksum",
         )
     )
 
@@ -117,6 +152,9 @@ def run_incremental(
     snapshot_id: str,
     n_buckets: int = 64,
     emit_extracted: bool = False,
+    dedup: bool = True,
+    near_dup: bool = False,
+    near_dup_jaccard: float = 0.9,
 ) -> dict:
     """Process only not-yet-committed buckets; append output + lineage.
 
@@ -126,34 +164,87 @@ def run_incremental(
     metrics table (standard write-ahead-commit pattern — with real
     Iceberg both writes share one transaction).
 
+    Dedup runs BEFORE the expensive Arrow UDF pass (round 4):
+
+    * ``dedup`` (default on): canonical-url exact dedup — two
+      spellings of one page collapse to the earliest crawl, cost the
+      UDF pass zero work, and the bucket key becomes the CANONICAL
+      url hash so variants co-locate; the output gains a ``dup_count``
+      column and lineage a ``dedup_dropped`` count.
+    * ``near_dup`` (opt-in): MinHash-band → exact-Jaccard →
+      connected-components document dedup at ``near_dup_jaccard``;
+      per component only the min-url canonical doc survives. The
+      deduped frame is persisted (spillable) because the loser scan
+      and the UDF pass share it — a real deployment would instead
+      read back the committed dedup table.
+
     The production output carries scrubbed_text (the product) but NOT
     extracted_text by default: pre-scrub text roughly doubles both the
     Arrow return volume of the fused UDF and the output parquet size,
     and its per-url bytes are already pinned by the parity tests —
     pass emit_extracted=True for a debug/parity run."""
-    labelled = quality_pipeline(
-        spark, web_pages, n_buckets=n_buckets,
-        emit_extracted=emit_extracted)
-    _check_append_schema(spark, output_path, labelled.schema.names)
-    done = committed_buckets(spark, metrics_path)
-    todo = labelled.join(F.broadcast(done), "bucket", "left_anti")
-
-    # cache: output write and lineage agg share the expensive UDF pass
-    todo.persist()
+    extra_cols: tuple[str, ...] = ()
+    pages = web_pages
+    if dedup:
+        pages = exact_dedup_pages(pages, n_buckets)
+        extra_cols = ("dup_count",)
+    nd_counts = None
+    staged = None
+    if near_dup:
+        if "bucket" not in pages.columns:
+            pages = with_bucket(pages, n_buckets)
+        staged = pages.persist()
+        losers = near_dup_losers(
+            staged, jaccard_min=near_dup_jaccard)
+        # counts keyed on the CANONICAL doc's bucket — that bucket
+        # always has a surviving row, so the lineage row exists. A
+        # loser removed here also takes its exact-dedup dup_count out
+        # of the labelled frame, so carry those drops along or the
+        # books (input = processed + dedup + near_dup) stop balancing.
+        loser_dd = (
+            (F.sum(F.col("dup_count") - 1) if dedup else F.lit(0))
+            .cast("long").alias("loser_dedup_dropped"))
+        enriched = (losers.join(staged.select(
+            "url", *(["dup_count"] if dedup else [])), "url")
+            if dedup else losers)
+        nd_counts = enriched.groupBy(
+            F.col("canon_bucket").alias("bucket")).agg(
+            F.count("*").alias("near_dup_dropped"), loser_dd)
+        pages = staged.join(
+            losers.select("url"), "url", "left_anti")
     try:
-        n_rows = todo.count()
-        if n_rows == 0:
-            return {"processed_rows": 0, "processed_buckets": 0}
-        (
-            todo.write.mode("append")
-            .partitionBy("bucket")
-            .parquet(output_path)
-        )
-        lin = lineage_rows(todo, snapshot_id)
-        lin.persist()
-        n_buckets_done = lin.count()
-        lin.write.mode("append").parquet(metrics_path)
-        lin.unpersist()
-        return {"processed_rows": n_rows, "processed_buckets": n_buckets_done}
+        labelled = quality_pipeline(
+            spark, pages, n_buckets=n_buckets,
+            emit_extracted=emit_extracted, extra_cols=extra_cols)
+        _check_append_schema(spark, output_path, labelled.schema.names)
+        _check_append_schema(
+            spark, metrics_path,
+            spark.createDataFrame([], METRICS_SCHEMA).schema.names)
+        done = committed_buckets(spark, metrics_path)
+        todo = labelled.join(F.broadcast(done), "bucket", "left_anti")
+
+        # cache: output write and lineage agg share the expensive UDF pass
+        todo.persist()
+        try:
+            n_rows = todo.count()
+            if n_rows == 0:
+                return {"processed_rows": 0, "processed_buckets": 0}
+            (
+                todo.write.mode("append")
+                .partitionBy("bucket")
+                .parquet(output_path)
+            )
+            lin = lineage_rows(todo, snapshot_id, nd_counts)
+            lin.persist()
+            n_buckets_done = lin.count()
+            lin.write.mode("append").parquet(metrics_path)
+            lin.unpersist()
+            return {
+                "processed_rows": n_rows,
+                "processed_buckets": n_buckets_done,
+            }
+        finally:
+            todo.unpersist()
     finally:
-        todo.unpersist()
+        if staged is not None:
+            staged.unpersist()

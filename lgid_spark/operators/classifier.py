@@ -114,6 +114,11 @@ def feature_weights(model, feature_names: list[str],
     PipelineModel a slot the selector dropped has weight None with
     selected=False — the hashed analog of "feature not used".
 
+    Tree learners (learner='gbt') report `featureImportances` in the
+    weight column instead of LR coefficients — same named-slot mapping,
+    weights are the non-negative split-gain importances (the boosted
+    analog the reference's weights dump lacks).
+
     Returns rows {name, index, weight, selected, collided} sorted by
     |weight| desc (None-weights last)."""
     from collections import Counter
@@ -122,24 +127,29 @@ def feature_weights(model, feature_names: list[str],
 
     if isinstance(model, PipelineModel):
         sel, clf = model.stages[0], model.stages[-1]
-        if not hasattr(clf, "coefficients"):
-            raise ValueError(
-                "feature_weights needs a linear model; for learner='gbt' "
-                "inspect featureImportances instead")
+    else:
+        sel, clf = None, model
+    if hasattr(clf, "coefficients"):
+        vals = clf.coefficients.toArray()
+    elif hasattr(clf, "featureImportances"):
+        vals = clf.featureImportances.toArray()
+    else:
+        raise ValueError(
+            "feature_weights needs a linear model (coefficients) or a "
+            f"tree model (featureImportances); got {type(clf).__name__}")
+    if sel is not None:
         nf = int(num_features or N_FEATURES)
         # the selector model emits the sliced vector in SORTED original-
         # index order regardless of selectedFeatures' ranking order
         pos = {orig: i for i, orig in enumerate(sorted(sel.selectedFeatures))}
-        coef = clf.coefficients.toArray()
 
         def weight_at(idx: int):
-            return float(coef[pos[idx]]) if idx in pos else None
+            return float(vals[pos[idx]]) if idx in pos else None
     else:
         nf = int(num_features or getattr(model, "numFeatures", N_FEATURES))
-        coef = model.coefficients.toArray()
 
         def weight_at(idx: int):
-            return float(coef[idx])
+            return float(vals[idx])
 
     tf = HashingTF(numFeatures=nf, inputCol="_in", outputCol="_out")
     idx_of = {name: tf.indexOf(name) for name in feature_names}
@@ -226,9 +236,11 @@ def score(instances: DataFrame, model,
     width."""
     from pyspark.ml.functions import vector_to_array
 
+    from pyspark.ml import PipelineModel
+
+    explicit_width = num_features is not None
     if num_features is None:
         num_features = getattr(model, "numFeatures", None) or N_FEATURES
-    from pyspark.ml import PipelineModel
 
     if isinstance(model, PipelineModel):
         sel = model.stages[0]
@@ -239,6 +251,22 @@ def score(instances: DataFrame, model,
                 f"{max(selected)} but scoring uses num_features="
                 f"{num_features}; pass the training width (load_model "
                 f"returns it from the sidecar)")
+        if not explicit_width:
+            # the guard above is one-directional: a pipeline trained at
+            # a NARROW width scored at the default 2^18 passes it (all
+            # selected indices fit) yet hashes names to different
+            # slots and silently mis-scores (ADVICE r3) — a pipeline
+            # model does not record its hash width, so it must come
+            # from the caller / the save_model sidecar
+            import warnings
+
+            warnings.warn(
+                "score(): PipelineModel scored without an explicit "
+                f"num_features — assuming the default {N_FEATURES}. If "
+                "the model was trained at another width this silently "
+                "mis-scores; pass the training width (load_model "
+                "returns it from the sidecar).",
+                stacklevel=2)
     vec = vectorize(instances, num_features)
     out = model.transform(vec)
     p_true = F.element_at(vector_to_array(F.col("probability")), 2)

@@ -38,13 +38,38 @@ FEATURE_SCHEMA = T.StructType([
 FEATURE_DIM = 16
 
 
-def decode_image(payload: bytes, strict: bool = False) -> tuple[int, int, list[float]]:
-    """STUB — a real deployment plugs Pillow/ffmpeg here.
+def _pillow():
+    """Capability probe: the real codec when the environment has one."""
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
 
-    strict=True raises (the honest production posture when the codec is
-    missing); otherwise returns a deterministic fake decode derived
-    from the payload bytes, so batch shapes / schemas / partitioning
-    are exercised for real."""
+
+def decode_image(payload: bytes, strict: bool = False) -> tuple[int, int, list[float]]:
+    """Real decode when Pillow is installed, honest stub otherwise.
+
+    With Pillow present and a decodable payload: true (width, height)
+    and a FEATURE_DIM-dim feature = 4×4 grayscale thumbnail intensities
+    — a deterministic, library-version-stable embedding stand-in. With
+    Pillow absent (this container) or the payload undecodable:
+    strict=True raises (the honest production posture when the codec
+    is missing); otherwise a deterministic fake decode derived from
+    the payload bytes, so batch shapes / schemas / partitioning are
+    exercised for real."""
+    Image = _pillow()
+    if Image is not None:
+        import io
+
+        try:
+            with Image.open(io.BytesIO(payload)) as img:
+                width, height = img.size
+                thumb = img.convert("L").resize((4, 4))
+                feat = [p / 255.0 for p in thumb.getdata()]
+            return width, height, feat[:FEATURE_DIM]
+        except Exception:
+            pass  # not an image this codec understands → stub path
     if strict:
         raise NotImplementedError(
             "media codecs not available in this environment; "
@@ -95,18 +120,34 @@ RESIZED_SCHEMA = T.StructType([
 
 def resize_media(media: DataFrame, width: int, height: int,
                  strict: bool = False) -> DataFrame:
-    """Resize stub with REAL plumbing: mapInPandas binary→binary, output
-    schema carries the target dims, payload size scales with the target
-    pixel count (deterministic bytes derived from the source payload —
-    a real deployment plugs Pillow's resize here; strict raises)."""
+    """Resize with REAL plumbing: mapInPandas binary→binary, output
+    schema carries the target dims. When Pillow is installed and the
+    payload decodes, the resize is real (PNG re-encode); otherwise the
+    stub payload's size scales with the target pixel count
+    (deterministic bytes derived from the source payload; strict
+    raises when no codec can handle the row)."""
 
     def run(batches: Iterator) -> Iterator:
+        import io
+
         import pandas as pd
 
+        Image = _pillow()
         n_bytes = max(8, (width * height) // 64)
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
+                if Image is not None:
+                    try:
+                        with Image.open(io.BytesIO(bytes(r.payload))) as img:
+                            buf = io.BytesIO()
+                            img.resize((width, height)).save(
+                                buf, format="PNG")
+                        rows.append((int(r.media_id), r.kind, width,
+                                     height, buf.getvalue()))
+                        continue
+                    except Exception:
+                        pass  # undecodable → stub path below
                 if strict:
                     raise NotImplementedError(
                         "media codecs not available; plug Pillow resize")

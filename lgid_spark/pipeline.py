@@ -256,6 +256,7 @@ def quality_pipeline(
     n_buckets: int = N_BUCKETS_DEFAULT,
     emit_extracted: bool = True,
     emit_scrubbed: bool = True,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """web_pages(url, warc_ts, html, text, lang) → filtered/labelled frame.
 
@@ -263,10 +264,17 @@ def quality_pipeline(
     flags; labels/metrics-only consumers pass emit_extracted=False /
     emit_scrubbed=False to keep document text out of the Arrow return
     path (and skip scrub work) — see make_process_html_udf.
+
+    If the input already carries a `bucket` column (the dedup stage
+    buckets on the CANONICAL url so spelling variants co-locate), it is
+    reused instead of recomputed from the raw url. `extra_cols` names
+    input columns to pass through to the output (e.g. the dedup
+    stage's dup_count).
     """
     process_udf = make_process_html_udf(
         spark, emit_extracted=emit_extracted, emit_scrubbed=emit_scrubbed)
-    df = with_bucket(web_pages, n_buckets)
+    df = (web_pages if "bucket" in web_pages.columns
+          else with_bucket(web_pages, n_buckets))
     df = df.withColumn("_p", process_udf(F.col("html")))
     df = df.select("*", "_p.*").drop("_p")
     df = with_drop_reasons(df)
@@ -281,6 +289,7 @@ def quality_pipeline(
     ]
     if emit_scrubbed:
         cols.append("scrubbed_text")
+    cols += list(extra_cols)
     return df.select(*cols)
 
 
@@ -311,11 +320,23 @@ def apply_domain_blocklist(
     rows), so it is force-broadcast; `drop_reasons` stays sorted (the
     pipeline's invariant) and `keep` is recomputed. Not part of the
     default pipeline: keep/drop goldens and reference parity are
-    blocklist-free."""
+    blocklist-free.
+
+    Matching is case-insensitive on the authority with any explicit
+    :port stripped, and works for URLs with no path after the host
+    (ADVICE r3: host_of's regex needs a trailing slash, so
+    'https://Bad.Example' or 'https://bad.example:8080/x' used to
+    silently bypass the blocklist); the blocklist side is normalized
+    the same way."""
+    norm_host = lambda c: F.regexp_replace(  # noqa: E731
+        F.lower(c), r":\d+$", "")
+    url_host = norm_host(
+        F.regexp_extract(F.col(url_col),
+                         r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
     dim = F.broadcast(
-        blocked_hosts.select(F.col("host")).distinct()
-        .withColumn("_blocked", F.lit(True)))
-    out = df.join(dim, host_of(F.col(url_col)) == F.col("host"), "left")
+        blocked_hosts.select(norm_host(F.col("host")).alias("host"))
+        .distinct().withColumn("_blocked", F.lit(True)))
+    out = df.join(dim, url_host == F.col("host"), "left")
     out = out.withColumn(
         "drop_reasons",
         F.when(
@@ -362,4 +383,124 @@ def canonical_url(u: Column) -> Column:
         scheme, F.lit("://"), host, path,
         F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q))
         .otherwise(F.lit("")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup stages (round 4) — composed into the production job so duplicate
+# spellings/copies of a page never reach the expensive Arrow UDF pass.
+# A crawl pipeline dedups BEFORE it filters; these run on the raw input
+# columns (url, text), upstream of quality_pipeline.
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_pages(
+    pages: DataFrame, n_buckets: int = N_BUCKETS_DEFAULT
+) -> DataFrame:
+    """Canonical-url exact dedup, upstream of the UDF pass.
+
+    * bucket = hash of the CANONICAL url — two spellings of one page
+      land in the same bucket (the Iceberg bucket(N, url) partition
+      key a crawl table would use);
+    * one winner per canonical url: the min (warc_ts, url, …) row —
+      the earliest crawl, ties broken by the full row so the choice is
+      deterministic under any partitioning;
+    * dup_count = how many input spellings/copies collapsed into the
+      winner (lineage: dedup_dropped = Σ(dup_count − 1)).
+
+    Scale shape: ONE shuffle on the canonical key with map-side
+    combine (min/count partial aggregation) — the same shape as the
+    line-dedup fix; no window, no row_number, no skew pile-up.
+    """
+    cols = pages.columns  # url, warc_ts, html, text, lang
+    rest = [c for c in cols if c not in ("warc_ts", "url")]
+    canon = pages.withColumn("url_canon", canonical_url(F.col("url")))
+    canon = canon.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("url_canon"), F.lit(n_buckets)).cast("int"))
+    grouped = canon.groupBy("bucket", "url_canon").agg(
+        F.min(F.struct("warc_ts", "url", *rest)).alias("_w"),
+        F.count("*").alias("dup_count"),
+    )
+    return grouped.select(
+        "bucket",
+        *[F.col(f"_w.{c}").alias(c) for c in cols],
+        "dup_count",
+    )
+
+
+def _page_words(t: Column) -> Column:
+    return F.filter(F.split(F.trim(t), _WS_SPLIT), lambda w: w != F.lit(""))
+
+
+def near_dup_losers(
+    pages: DataFrame,
+    jaccard_min: float = 0.9,
+    n_minhash: int = 4,
+) -> DataFrame:
+    """Document-grain near-dup losers: one row per doc to drop, with
+    its component's canonical url and that doc's bucket —
+    (url, bucket, component, canon_bucket).
+
+    The 100-TB chain on the job's own input: MinHash signatures over
+    distinct words → 2-band LSH candidates (band equi-join, never
+    all-pairs) → exact-Jaccard verify at ``jaccard_min`` → connected
+    components (operators/components.py min-label loop) → per
+    component every doc EXCEPT the min-url canonical is a loser.
+
+    Only (url, bucket, text) are read — column pruning keeps html out
+    of this branch."""
+    from .operators.components import connected_components
+
+    w = pages.select(
+        "url", F.explode(F.array_distinct(_page_words(F.col("text")))).alias("w"))
+    sig = w.groupBy("url").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"s{k}|"), F.col("w")))).alias(f"h{k}")
+        for k in range(n_minhash)
+    ])
+    bands = sig.select(
+        "url",
+        F.posexplode(F.array(
+            F.md5(F.concat_ws("|", "h0", "h1")),
+            F.md5(F.concat_ws("|", "h2", "h3")),
+        )).alias("band_idx", "band_hash"),
+    )
+    cand = (
+        bands.select(F.col("url").alias("url_a"), "band_idx", "band_hash")
+        .join(bands.select(F.col("url").alias("url_b"),
+                           "band_idx", "band_hash"),
+              ["band_idx", "band_hash"])
+        .where(F.col("url_a") < F.col("url_b"))
+        .select("url_a", "url_b")
+        .distinct()
+    )
+    sizes = w.groupBy("url").agg(F.count("*").alias("sz"))
+    wa = w.select(F.col("url").alias("url_a"), "w")
+    wb = w.select(F.col("url").alias("url_b"), "w")
+    edges = (
+        cand.join(wa, "url_a").join(wb, ["url_b", "w"])
+        .groupBy("url_a", "url_b").agg(F.count("*").alias("inter"))
+        .join(sizes.select(F.col("url").alias("url_a"),
+                           F.col("sz").alias("sz_a")), "url_a")
+        .join(sizes.select(F.col("url").alias("url_b"),
+                           F.col("sz").alias("sz_b")), "url_b")
+        .where(
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            >= F.lit(jaccard_min))
+        .select("url_a", "url_b")
+    )
+    comp = connected_components(edges, "url_a", "url_b")
+    losers = comp.where(F.col("component") != F.col("vertex")).select(
+        F.col("vertex").alias("url"), "component")
+    loc = pages.select("url", "bucket")
+    # canon_bucket = the surviving canonical doc's bucket: drop counts
+    # are attributed there (a loser's own bucket may end up with zero
+    # surviving rows and thus no lineage row to carry the count)
+    return (
+        losers.join(loc, "url")
+        .join(loc.select(F.col("url").alias("component"),
+                         F.col("bucket").alias("canon_bucket")),
+              "component")
+        .select("url", "bucket", "component", "canon_bucket")
     )

@@ -62,10 +62,16 @@ def segment_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("k"))
     big = orders.where("o_totalprice > 300000").select(
         F.col("o_custkey").alias("k")).distinct()
-    both = building.intersect(big).withColumn("set_op", F.lit("intersect"))
-    only_building = building.exceptAll(big).withColumn("set_op", F.lit("except"))
-    return both.unionByName(only_building).groupBy("set_op").agg(
-        F.count("*").alias("n"))
+    # explicit single-row counts (not groupBy) so an EMPTY set-op still
+    # yields its 0 row at any SF — the DuckDB oracle's UNION ALL COUNT
+    # shape does, and at sf0.001 the except branch is genuinely empty
+    both = building.intersect(big).agg(
+        F.count("*").alias("n")).select(
+        F.lit("intersect").alias("set_op"), "n")
+    only_building = building.exceptAll(big).agg(
+        F.count("*").alias("n")).select(
+        F.lit("except").alias("set_op"), "n")
+    return both.unionByName(only_building)
 
 
 ORACLE_SQL["segment_setops"] = """

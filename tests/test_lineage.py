@@ -8,7 +8,7 @@ import pytest
 
 from lgid_spark.datagen import spark_web_pages
 from lgid_spark.lineage import committed_buckets, lineage_rows, run_incremental
-from lgid_spark.pipeline import quality_pipeline
+from lgid_spark.pipeline import exact_dedup_pages, quality_pipeline
 
 N = 300
 N_BUCKETS = 16
@@ -44,8 +44,12 @@ def test_resume_after_partial_commit(spark, paths, tmp_path):
     shutil.rmtree(metrics)
     shutil.rmtree(out)
     spark.createDataFrame(m, schema=schema).write.parquet(metrics)
-    # re-create output for the surviving buckets only
-    full = quality_pipeline(spark, pages, n_buckets=N_BUCKETS)
+    # re-create output for the surviving buckets only, in the SAME
+    # composed shape run_incremental writes (dedup stage + emit flags),
+    # or the append-schema guard would rightly refuse the resume
+    full = quality_pipeline(
+        spark, exact_dedup_pages(pages, N_BUCKETS), n_buckets=N_BUCKETS,
+        emit_extracted=False, extra_cols=("dup_count",))
     full.where("bucket < 8").write.partitionBy("bucket").parquet(out)
 
     r = run_incremental(spark, pages, out, metrics, "snap2", N_BUCKETS)

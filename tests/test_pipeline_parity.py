@@ -141,3 +141,26 @@ def test_domain_blocklist_stage(spark):
             assert r.keep == base[url].keep
     assert n_blocked > 0
     assert len(rows) == len(base)
+
+
+def test_domain_blocklist_normalizes_hosts(spark):
+    """ADVICE r3: uppercase hosts, explicit ports, path-less URLs, and
+    uppercase blocklist entries must all still match."""
+    from lgid_spark.pipeline import apply_domain_blocklist
+
+    rows = [
+        ("https://Bad.Example/page", True),        # case in url
+        ("https://bad.example:8443/x", True),      # explicit port
+        ("https://bad.example", True),             # no path after host
+        ("https://UGLY.example/", True),           # blocklist side upper
+        ("https://fine.example/page", False),
+    ]
+    df = spark.createDataFrame(
+        [(u, ["x"] if False else [], True) for u, _ in rows],
+        "url string, drop_reasons array<string>, keep boolean")
+    bl = spark.createDataFrame(
+        [("bad.example",), ("UGLY.Example:80",)], ["host"])
+    got = {r["url"]: r for r in apply_domain_blocklist(df, bl).collect()}
+    for url, blocked in rows:
+        assert (("blocked_domain" in got[url]["drop_reasons"]) == blocked), url
+        assert got[url]["keep"] == (not blocked), url

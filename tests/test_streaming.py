@@ -26,3 +26,31 @@ def test_available_now_incremental(spark, tmp_path):
     # keep labels survived the streaming path
     assert df.where("keep").count() > 0
     assert "drop_reasons" in df.columns
+
+
+def test_streaming_output_equals_batch(spark, tmp_path):
+    """VERDICT r3 item 7: the streaming twin must produce EXACTLY the
+    batch pipeline's rows on the same input — same labels, metrics,
+    drop reasons, and scrubbed bytes per url (the narrow-map DAG is
+    shared; this pins that it stays shared)."""
+    from lgid_spark.pipeline import quality_pipeline
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark_web_pages(spark, 80).write.parquet(inp)
+
+    process_available(spark, inp, out, ckpt)
+    streamed = spark.read.parquet(out)
+    batch = quality_pipeline(
+        spark, spark.read.parquet(inp)).drop("warc_ts")
+    assert sorted(streamed.columns) == sorted(batch.columns)
+
+    def canon(df):
+        cols = sorted(df.columns)
+        return sorted(
+            tuple(tuple(v) if isinstance(v, list) else v
+                  for v in (r[c] for c in cols))
+            for r in df.collect())
+
+    assert canon(streamed) == canon(batch)
