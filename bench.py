@@ -114,7 +114,8 @@ def _warm_python_workers(spark) -> None:
 
 def _run_pipeline(spark, n_docs: int, warm: bool = True,
                   labels_only: bool = False,
-                  production: bool = False) -> float:
+                  production: bool = False,
+                  dedup: bool = False) -> float:
     """Flagship filter throughput: web_pages parquet → full pipeline.
 
     Three emit shapes:
@@ -126,8 +127,13 @@ def _run_pipeline(spark, n_docs: int, warm: bool = True,
         schema: the scrubbed text IS the product);
       * labels_only=True — no text at all (the Arrow-diet floor).
     The deltas between the three are the measured per-text-column
-    Arrow + scrub cost."""
-    from lgid_spark.pipeline import quality_pipeline
+    Arrow + scrub cost.
+
+    dedup=True prepends the canonical-url exact-dedup stage (round 4's
+    run_filter default): on this all-unique input the dedup shuffle is
+    pure overhead, so the delta vs production is the stage's worst-case
+    cost."""
+    from lgid_spark.pipeline import exact_dedup_pages, quality_pipeline
 
     path = _materialize_pages(spark, n_docs)
     if warm:
@@ -135,9 +141,13 @@ def _run_pipeline(spark, n_docs: int, warm: bool = True,
     emit_extracted = not (labels_only or production)
     emit_scrubbed = not labels_only
     t0 = time.time()
+    pages = spark.read.parquet(path)
+    if dedup:
+        pages = exact_dedup_pages(pages)
     quality_pipeline(
-        spark, spark.read.parquet(path),
+        spark, pages,
         emit_extracted=emit_extracted, emit_scrubbed=emit_scrubbed,
+        extra_cols=("dup_count",) if dedup else (),
     ).select("keep").groupBy("keep").count().collect()
     return time.time() - t0
 
@@ -286,6 +296,12 @@ def main() -> None:
     diet_sec = _run_pipeline(spark, PIPELINE_DOCS, warm=False,
                              labels_only=True)
     queries["filter_pipeline_labels_only"] = round(diet_sec, 3)
+    # round-4 run_filter default: exact dedup composed before the UDF
+    # pass (all-unique input → the delta vs production is the dedup
+    # shuffle's worst-case overhead)
+    dd_sec = _run_pipeline(spark, PIPELINE_DOCS, warm=False,
+                           production=True, dedup=True)
+    queries["filter_pipeline_dedup"] = round(dd_sec, 3)
 
     # r1 comparability: r1's "value" summed 19 queries + a 60k-doc
     # pipeline pass; r2 benches 3 more queries and the 960k-doc pipeline.
@@ -297,6 +313,7 @@ def main() -> None:
         sum(v for k, v in queries.items()
             if k not in ("filter_pipeline", "filter_pipeline_labels_only",
                          "filter_pipeline_production",
+                         "filter_pipeline_dedup",
                          "lm_match_ratio_stats",
                          "word_int_index", "mention_recall")), 3)
     result = {
@@ -311,6 +328,7 @@ def main() -> None:
         "filter_docs_per_sec": docs_per_sec,
         "filter_production_docs_per_sec": round(PIPELINE_DOCS / prod_sec, 1),
         "filter_labels_only_docs_per_sec": round(PIPELINE_DOCS / diet_sec, 1),
+        "filter_dedup_docs_per_sec": round(PIPELINE_DOCS / dd_sec, 1),
         "pipeline_docs": PIPELINE_DOCS,
     }
 

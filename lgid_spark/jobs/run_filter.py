@@ -4,10 +4,17 @@
 Usage:
     spark-submit --py-files dist/lgid_spark.zip \\
         lgid_spark/jobs/run_filter.py \\
-        --input  /path/web_pages_parquet   (or synth:N for synthetic)
+        --input  /path/web_pages_parquet   (or synth:N / synthdup:N)
         --output /path/filtered
         --metrics /path/metrics
         [--snapshot-id run-2026-08-16] [--buckets 64]
+        [--no-dedup] [--near-dup [--near-dup-jaccard 0.9]]
+        [--blocklist hosts.txt] [--emit-extracted]
+
+Stage order (round 4): canonical-url exact dedup (default on) →
+optional MinHash near-dup → fused extract/langid/metrics/scrub UDF
+pass → optional host blocklist → bucket-partitioned output + lineage
+(dedup_dropped / near_dup_dropped / drop_hist per bucket).
 
 Resumable: re-running with the same metrics path processes only buckets
 not yet committed (lineage.run_incremental). Prints one JSON summary
@@ -44,6 +51,10 @@ def main(argv: list[str] | None = None) -> int:
                          "component)")
     ap.add_argument("--near-dup-jaccard", type=float, default=0.9,
                     help="Jaccard threshold for --near-dup (default 0.9)")
+    ap.add_argument("--blocklist", default=None,
+                    help="text file of blocked hosts (one per line, # "
+                         "comments ok); blocked rows get keep=false + a "
+                         "'blocked_domain' drop reason")
     args = ap.parse_args(argv)
 
     from lgid_spark.session import get_submit_spark
@@ -62,6 +73,14 @@ def main(argv: list[str] | None = None) -> int:
     else:
         pages = spark.read.parquet(args.input)
 
+    blocked = None
+    if args.blocklist:
+        with open(args.blocklist) as fh:
+            hosts = [ln.strip() for ln in fh
+                     if ln.strip() and not ln.startswith("#")]
+        blocked = spark.createDataFrame(
+            [(h,) for h in hosts], "host string")
+
     snapshot = args.snapshot_id or f"snap-{int(time.time())}"
     t0 = time.time()
     res = run_incremental(
@@ -69,7 +88,8 @@ def main(argv: list[str] | None = None) -> int:
         emit_extracted=args.emit_extracted,
         dedup=not args.no_dedup,
         near_dup=args.near_dup,
-        near_dup_jaccard=args.near_dup_jaccard)
+        near_dup_jaccard=args.near_dup_jaccard,
+        blocked_hosts=blocked)
     res.update({"snapshot_id": snapshot, "sec": round(time.time() - t0, 2)})
     print(json.dumps(res))
     return 0

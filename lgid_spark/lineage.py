@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .pipeline import (
+    apply_domain_blocklist,
     exact_dedup_pages,
     near_dup_losers,
     quality_pipeline,
@@ -155,6 +156,7 @@ def run_incremental(
     dedup: bool = True,
     near_dup: bool = False,
     near_dup_jaccard: float = 0.9,
+    blocked_hosts: DataFrame | None = None,
 ) -> dict:
     """Process only not-yet-committed buckets; append output + lineage.
 
@@ -216,6 +218,12 @@ def run_incremental(
         labelled = quality_pipeline(
             spark, pages, n_buckets=n_buckets,
             emit_extracted=emit_extracted, extra_cols=extra_cols)
+        if blocked_hosts is not None:
+            # optional UT1-style host blocklist (broadcast bounded dim);
+            # blocked rows stay in the output with keep=false and a
+            # 'blocked_domain' drop reason, counted in the lineage
+            # drop_hist like any other rule
+            labelled = apply_domain_blocklist(labelled, blocked_hosts)
         _check_append_schema(spark, output_path, labelled.schema.names)
         _check_append_schema(
             spark, metrics_path,

@@ -153,3 +153,29 @@ def test_run_filter_cli_dedup(spark, tmp_path, capsys):
     assert agg["nd"] > 0
     assert res["processed_rows"] + agg["dd"] + agg["nd"] == 150
     assert spark.read.parquet(out).count() == res["processed_rows"]
+
+
+def test_run_filter_cli_blocklist(spark, tmp_path, capsys):
+    """--blocklist composes into the job: blocked hosts' rows are
+    written keep=false with a 'blocked_domain' reason, and the reason
+    lands in the lineage drop_hist like any built-in rule."""
+    from lgid_spark.jobs.run_filter import main
+
+    bl = tmp_path / "blocked.txt"
+    bl.write_text("# UT1-style list\nhost0.example\n")
+    out, metrics = str(tmp_path / "out"), str(tmp_path / "metrics")
+    rc = main([
+        "--input", "synth:80", "--output", out, "--metrics", metrics,
+        "--snapshot-id", "bl-snap", "--buckets", "8",
+        "--blocklist", str(bl),
+    ])
+    assert rc == 0
+    rows = spark.read.parquet(out).collect()
+    blocked = [r for r in rows if r["url"].startswith("https://host0.example/")]
+    assert blocked  # the skewed host always has pages
+    for r in blocked:
+        assert "blocked_domain" in r["drop_reasons"] and not r["keep"]
+    hist = spark.read.parquet(metrics).collect()
+    total = sum((r["drop_hist"] or {}).get("blocked_domain", 0)
+                for r in hist)
+    assert total == len(blocked)
