@@ -143,7 +143,10 @@ def _run_pipeline(spark, n_docs: int, warm: bool = True,
     t0 = time.time()
     pages = spark.read.parquet(path)
     if dedup:
-        pages = exact_dedup_pages(pages)
+        # mirror run_incremental: only the UDF pass's columns enter the
+        # dedup shuffle (raw text stays out — column-pruned at the scan)
+        pages = exact_dedup_pages(
+            pages.select("url", "warc_ts", "html", "lang"))
     quality_pipeline(
         spark, pages,
         emit_extracted=emit_extracted, emit_scrubbed=emit_scrubbed,

@@ -188,7 +188,15 @@ def run_incremental(
     extra_cols: tuple[str, ...] = ()
     pages = web_pages
     if dedup:
-        pages = exact_dedup_pages(pages, n_buckets)
+        # project BEFORE the dedup shuffle: the UDF pass reads html
+        # (never the raw text column), so shipping text through the
+        # exchange would roughly double the shuffle volume for nothing;
+        # near-dup is the one consumer of text downstream
+        needed = ["url", "warc_ts", "html", "lang"] + (
+            ["text"] if near_dup else [])
+        pages = exact_dedup_pages(
+            pages.select(*[c for c in needed if c in pages.columns]),
+            n_buckets)
         extra_cols = ("dup_count",)
     nd_counts = None
     staged = None
