@@ -174,54 +174,20 @@ def pandas_web_pages(n: int, start: int = 0):
     return df
 
 
-def spark_web_pages(spark, n: int):
-    """Distributed generation: ``spark.range(n)`` → ``mapInPandas``.
+WEB_PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+WEB_PAGES_DDL = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def _spark_pages(spark, n: int, rows_for):
+    """Shared distributed-generation shape: ``spark.range(n)`` →
+    ``mapInPandas``, one ``rows_for(i) -> list[dict]`` call per index.
 
     This is the scale path — each partition generates its own slice, so
     the table never exists in one place. At 10^12 rows you'd bump
     numPartitions; generation stays embarrassingly parallel.
     """
-    from pyspark.sql import types as T
-
-    schema = T.StructType([
-        T.StructField("url", T.StringType()),
-        T.StructField("warc_ts", T.TimestampType()),
-        T.StructField("html", T.BinaryType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("lang", T.StringType()),
-    ])
-
-    def gen(batches: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in batches:
-            rows = [row(int(i)) for i in pdf["id"]]
-            out = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
-            out["warc_ts"] = pd.to_datetime(out["warc_ts"]).dt.tz_localize(None)
-            yield out
-
-    n_parts = max(1, min(32, n // 64 or 1))
-    return (
-        spark.range(0, n, 1, n_parts)
-        .mapInPandas(gen, schema=schema)
-    )
-
-
-def spark_web_pages_with_dups(spark, n: int, every: int = DUP_EVERY):
-    """Dup-saturated corpus: the n base pages plus a messy-url exact
-    twin (dup_row) for every ``every``-th page — n + n//every rows in
-    which two spellings of one page must collapse to the original
-    under canonical-url dedup. Same distributed mapInPandas shape as
-    spark_web_pages."""
-    from pyspark.sql import types as T
-
-    schema = T.StructType([
-        T.StructField("url", T.StringType()),
-        T.StructField("warc_ts", T.TimestampType()),
-        T.StructField("html", T.BinaryType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("lang", T.StringType()),
-    ])
 
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -229,14 +195,26 @@ def spark_web_pages_with_dups(spark, n: int, every: int = DUP_EVERY):
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
-                i = int(i)
-                rows.append(row(i))
-                if i % every == 0:
-                    rows.append(dup_row(i))
-            out = pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html", "text", "lang"])
+                rows.extend(rows_for(int(i)))
+            out = pd.DataFrame(rows, columns=WEB_PAGES_COLUMNS)
             out["warc_ts"] = pd.to_datetime(out["warc_ts"]).dt.tz_localize(None)
             yield out
 
     n_parts = max(1, min(32, n // 64 or 1))
-    return spark.range(0, n, 1, n_parts).mapInPandas(gen, schema=schema)
+    return spark.range(0, n, 1, n_parts).mapInPandas(
+        gen, schema=WEB_PAGES_DDL)
+
+
+def spark_web_pages(spark, n: int):
+    """Distributed generation of the base corpus (see _spark_pages)."""
+    return _spark_pages(spark, n, lambda i: [row(i)])
+
+
+def spark_web_pages_with_dups(spark, n: int, every: int = DUP_EVERY):
+    """Dup-saturated corpus: the n base pages plus a messy-url exact
+    twin (dup_row) for every ``every``-th page — n + n//every rows in
+    which two spellings of one page must collapse to the original
+    under canonical-url dedup."""
+    return _spark_pages(
+        spark, n,
+        lambda i: [row(i)] + ([dup_row(i)] if i % every == 0 else []))

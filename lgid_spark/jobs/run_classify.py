@@ -112,20 +112,27 @@ def main(argv: list[str] | None = None) -> int:
     if args.model:
         import os
 
+        from pyspark.ml import PipelineModel
+
         from lgid_spark.operators.classifier import load_model
 
-        model, sidecar_nf = load_model(args.model)
-        if os.path.exists(os.path.join(args.model, "_lgid_meta.json")):
-            # the sidecar records the true training width — authoritative
-            if args.num_features and args.num_features != sidecar_nf:
+        model, loaded_nf = load_model(args.model)
+        # the width is AUTHORITATIVE when the sidecar recorded it, or
+        # when the artifact is a bare LR (its numFeatures IS the hash
+        # width — overriding it would mis-dimension the vectors); only
+        # a sidecar-less PipelineModel leaves load_model guessing, and
+        # there an explicit --num-features wins (ADVICE r3)
+        authoritative = (
+            os.path.exists(os.path.join(args.model, "_lgid_meta.json"))
+            or not isinstance(model, PipelineModel))
+        if authoritative:
+            if args.num_features and args.num_features != loaded_nf:
                 raise SystemExit(
                     f"--num-features {args.num_features} conflicts with "
-                    f"the model sidecar's training width {sidecar_nf}")
-            num_features = sidecar_nf
+                    f"the model's training width {loaded_nf}")
+            num_features = loaded_nf
         else:
-            # sidecar-less artifact: load_model can only guess the
-            # width, so an explicit --num-features wins (ADVICE r3)
-            num_features = args.num_features or sidecar_nf
+            num_features = args.num_features or loaded_nf
 
     feature_kwargs = {}
     if args.odin_lm:

@@ -76,8 +76,10 @@ def main(argv: list[str] | None = None) -> int:
     blocked = None
     if args.blocklist:
         with open(args.blocklist) as fh:
-            hosts = [ln.strip() for ln in fh
-                     if ln.strip() and not ln.startswith("#")]
+            # '#' starts a comment anywhere on the line (indented and
+            # inline styles both occur in real UT1-style lists)
+            hosts = [h for h in
+                     (ln.split("#", 1)[0].strip() for ln in fh) if h]
         blocked = spark.createDataFrame(
             [(h,) for h in hosts], "host string")
 

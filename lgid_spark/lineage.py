@@ -24,8 +24,6 @@ needs.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -107,6 +105,18 @@ def lineage_rows(
     )
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API so it works
+    for ANY storage URI (hdfs://, s3a://, file:, plain local) — a bare
+    os.path.exists is always False for remote URIs, which would
+    silently disable the resume anti-join and the schema guard exactly
+    where a real cluster runs."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def _check_append_schema(
     spark: SparkSession, output_path: str, new_cols: list[str]
 ) -> None:
@@ -120,12 +130,14 @@ def _check_append_schema(
     (ADVICE r3). Migration for an existing mixed/pre-change dataset:
     one-time compaction — read with mergeSchema=true, select the
     desired column set, rewrite, then resume appending."""
-    if not os.path.exists(output_path):
+    if not _path_exists(spark, output_path):
         return
+    from pyspark.errors import AnalysisException
+
     try:
         existing = spark.read.option("mergeSchema", "true").parquet(
             output_path).schema.names
-    except Exception:  # empty dir / no footers yet — nothing to clash
+    except AnalysisException:  # empty dir / no footers yet
         return
     if set(existing) != set(new_cols):
         raise ValueError(
@@ -140,7 +152,7 @@ def _check_append_schema(
 def committed_buckets(spark: SparkSession, metrics_path: str) -> DataFrame:
     """Buckets already recorded in the metrics table (empty frame if the
     table doesn't exist yet)."""
-    if not os.path.exists(metrics_path):
+    if not _path_exists(spark, metrics_path):
         return spark.createDataFrame([], "bucket int")
     return spark.read.parquet(metrics_path).select("bucket").distinct()
 
@@ -203,6 +215,24 @@ def run_incremental(
     if near_dup:
         if "bucket" not in pages.columns:
             pages = with_bucket(pages, n_buckets)
+        # no-op probe BEFORE the near-dup chain: connected_components
+        # localCheckpoints (materializes) at DAG-BUILD time, so an
+        # idempotent resume of a finished job would otherwise pay the
+        # whole MinHash/Jaccard/components cost just to discover there
+        # is nothing to do. The probe computes buckets straight from
+        # the RAW urls (same key definition as the dedup stage) so it
+        # is a column-pruned url scan, not a run of the dedup shuffle.
+        from .pipeline import canonical_url
+
+        key = (canonical_url(F.col("url")) if dedup else F.col("url"))
+        probe_buckets = web_pages.select(
+            F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int")
+            .alias("bucket")).distinct()
+        done_probe = committed_buckets(spark, metrics_path)
+        if probe_buckets.join(
+                F.broadcast(done_probe), "bucket", "left_anti"
+        ).limit(1).count() == 0:
+            return {"processed_rows": 0, "processed_buckets": 0}
         staged = pages.persist()
         losers = near_dup_losers(
             staged, jaccard_min=near_dup_jaccard)
@@ -251,6 +281,29 @@ def run_incremental(
                 .parquet(output_path)
             )
             lin = lineage_rows(todo, snapshot_id, nd_counts)
+            if near_dup:
+                # a bucket whose EVERY doc was a near-dup loser has no
+                # surviving rows and thus no lineage row from todo —
+                # commit a zero-count row for it or resume would redo
+                # the whole near-dup chain forever just to rediscover
+                # the empty bucket
+                emptied = (
+                    probe_buckets
+                    .join(F.broadcast(done), "bucket", "left_anti")
+                    .join(lin.select("bucket"), "bucket", "left_anti")
+                    .select(
+                        "bucket",
+                        F.lit(snapshot_id).alias("snapshot_id"),
+                        F.lit(0).cast("long").alias("input_count"),
+                        F.lit(0).cast("long").alias("kept_count"),
+                        F.lit(0).cast("long").alias("dedup_dropped"),
+                        F.lit(0).cast("long").alias("near_dup_dropped"),
+                        F.lit(None).cast("map<string,bigint>")
+                        .alias("drop_hist"),
+                        F.lit(None).cast("bigint").alias("checksum"),
+                    )
+                )
+                lin = lin.unionByName(emptied)
             lin.persist()
             n_buckets_done = lin.count()
             lin.write.mode("append").parquet(metrics_path)

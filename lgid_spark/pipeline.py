@@ -322,14 +322,17 @@ def apply_domain_blocklist(
     default pipeline: keep/drop goldens and reference parity are
     blocklist-free.
 
-    Matching is case-insensitive on the authority with any explicit
-    :port stripped, and works for URLs with no path after the host
-    (ADVICE r3: host_of's regex needs a trailing slash, so
-    'https://Bad.Example' or 'https://bad.example:8080/x' used to
-    silently bypass the blocklist); the blocklist side is normalized
-    the same way."""
-    norm_host = lambda c: F.regexp_replace(  # noqa: E731
-        F.lower(c), r":\d+$", "")
+    Matching is case-insensitive on the host with userinfo ('user@'),
+    any explicit :port, and a trailing dot stripped, and works for
+    URLs with no path after the host (ADVICE r3 + review: host_of's
+    regex needs a trailing slash, and 'https://anyone@bad.example/x'
+    is the classic blocklist-evasion spelling); the blocklist side is
+    normalized the same way."""
+    def norm_host(c: Column) -> Column:
+        c = F.lower(c)
+        c = F.regexp_replace(c, r"^[^@]*@", "")   # userinfo
+        c = F.regexp_replace(c, r":\d+$", "")     # explicit port
+        return F.regexp_replace(c, r"\.$", "")    # trailing-dot FQDN
     url_host = norm_host(
         F.regexp_extract(F.col(url_col),
                          r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))

@@ -16,12 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from ..datagen import spark_web_pages  # noqa: F401  (docs: schema source)
+from ..datagen import WEB_PAGES_DDL
 from ..pipeline import quality_pipeline
-
-WEB_PAGES_DDL = (
-    "url string, warc_ts timestamp, html binary, text string, lang string"
-)
 
 
 def process_available(

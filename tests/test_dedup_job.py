@@ -127,6 +127,28 @@ def test_run_incremental_near_dup(spark, tmp_path):
     assert lin.agg(F.sum("near_dup_dropped")).collect()[0][0] == 2
 
 
+def test_near_dup_noop_resume_skips_chain(spark, tmp_path, monkeypatch):
+    """Review r4: an idempotent resume of a finished --near-dup job must
+    not pay the MinHash/Jaccard/components chain (connected_components
+    materializes at DAG-build time) — the cheap bucket probe has to
+    short-circuit first. Proven by poisoning near_dup_losers."""
+    import lgid_spark.lineage as lineage_mod
+
+    out, metrics = str(tmp_path / "out"), str(tmp_path / "metrics")
+    run_incremental(
+        spark, _near_dup_corpus(spark), out, metrics, "snap1", N_BUCKETS,
+        near_dup=True)
+
+    def _boom(*a, **k):
+        raise AssertionError("near-dup chain ran on a no-op resume")
+
+    monkeypatch.setattr(lineage_mod, "near_dup_losers", _boom)
+    res = run_incremental(
+        spark, _near_dup_corpus(spark), out, metrics, "snap2", N_BUCKETS,
+        near_dup=True)
+    assert res == {"processed_rows": 0, "processed_buckets": 0}
+
+
 def test_run_filter_cli_dedup(spark, tmp_path, capsys):
     """End-to-end CLI drive of the composed job: dup-saturated synthetic
     input through --near-dup; summary JSON reports the deduped rows."""

@@ -153,6 +153,8 @@ def test_domain_blocklist_normalizes_hosts(spark):
         ("https://bad.example:8443/x", True),      # explicit port
         ("https://bad.example", True),             # no path after host
         ("https://UGLY.example/", True),           # blocklist side upper
+        ("https://anyone@bad.example/x", True),    # userinfo evasion
+        ("https://bad.example./x", True),          # trailing-dot FQDN
         ("https://fine.example/page", False),
     ]
     df = spark.createDataFrame(
