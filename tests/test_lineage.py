@@ -126,3 +126,17 @@ def test_append_schema_guard(spark, paths):
     r = run_incremental(spark, pages, out, metrics, "snap3", N_BUCKETS,
                         emit_extracted=True)
     assert r == {"processed_rows": 0, "processed_buckets": 0}
+
+
+def test_path_exists_handles_uri_schemes(spark, tmp_path):
+    """Review r4: existence checks go through the Hadoop FileSystem API
+    so scheme-qualified URIs work (os.path.exists is always False for
+    them, which silently disabled resume + the schema guard)."""
+    from lgid_spark.lineage import _path_exists
+
+    p = tmp_path / "ds"
+    assert not _path_exists(spark, f"file://{p}")
+    assert not _path_exists(spark, str(p))
+    p.mkdir()
+    assert _path_exists(spark, f"file://{p}")
+    assert _path_exists(spark, str(p))

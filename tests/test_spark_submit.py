@@ -16,7 +16,19 @@ DIST = os.path.join(REPO, "dist", "lgid_spark.zip")
 JOB = os.path.join(REPO, "lgid_spark", "jobs", "run_filter.py")
 
 
-@pytest.mark.skipif(not os.path.exists(DIST), reason="dist zip not built")
+@pytest.fixture(scope="module", autouse=True)
+def fresh_dist():
+    """Rebuild the zip from the CURRENT tree — a stale committed dist
+    makes the job import symbols the zip doesn't have yet and fails
+    with an error that looks like a packaging bug."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import make_dist
+
+    make_dist.main()
+
+
 def test_spark_submit_py_files_filter_job(tmp_path):
     out = str(tmp_path / "filtered")
     metrics = str(tmp_path / "metrics")
