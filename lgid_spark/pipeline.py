@@ -507,3 +507,58 @@ def near_dup_losers(
               "component")
         .select("url", "bucket", "component", "canon_bucket")
     )
+
+
+def write_bucketed_pages(
+    pages: DataFrame,
+    table_name: str,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+    path: str | None = None,
+) -> None:
+    """First-write canonicalization (the 100-TB table layout): persist
+    the crawl table bucketed AND sorted by the canonical url, so every
+    later canonical-url operation — exact dedup, point lookups, url
+    joins — reads co-located buckets instead of shuffling 100 TB.
+
+    Spark bucketing (`bucketBy` + `saveAsTable`) records the layout in
+    the catalog; the Iceberg equivalent is `bucket(N, url_canon)`
+    partition transforms. See exact_dedup_bucketed for the
+    exchange-free consumer."""
+    canon = pages.withColumn("url_canon", canonical_url(F.col("url")))
+    writer = (
+        canon.write.mode("overwrite")
+        .bucketBy(n_buckets, "url_canon")
+        .sortBy("url_canon")
+        .format("parquet")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
+def exact_dedup_bucketed(
+    spark: SparkSession,
+    table_name: str,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+) -> DataFrame:
+    """Exchange-free exact dedup over a table written by
+    write_bucketed_pages: the catalog knows rows are hash-distributed
+    by url_canon, so the min-struct winner aggregate runs entirely
+    within each bucket's files — ZERO shuffle, asserted by
+    tests/test_plans.py. This is the shape the one-off
+    exact_dedup_pages shuffle converges to once the crawl table itself
+    is bucketed (first write pays the exchange once; every downstream
+    dedup/backfill is free)."""
+    t = spark.table(table_name)
+    cols = [c for c in t.columns if c != "url_canon"]
+    rest = [c for c in cols if c not in ("warc_ts", "url")]
+    grouped = t.groupBy("url_canon").agg(
+        F.min(F.struct("warc_ts", "url", *rest)).alias("_w"),
+        F.count("*").alias("dup_count"),
+    )
+    return grouped.select(
+        F.pmod(F.xxhash64("url_canon"), F.lit(n_buckets)).cast("int")
+        .alias("bucket"),
+        *[F.col(f"_w.{c}").alias(c) for c in cols],
+        "dup_count",
+    )

@@ -252,3 +252,36 @@ def test_line_dedup_first_occurrence_has_map_side_combine(spark):
     assert agg["kept"] == 1 + 1000
     winner = marked.where("keep AND pos = 0").collect()
     assert [r["url"] for r in winner] == ["http://h0"]
+
+
+def test_bucketed_table_dedup_is_exchange_free(spark, tmp_path):
+    """The 100-TB dedup endgame: once the crawl table is written
+    bucketed by the canonical url (write_bucketed_pages), the exact
+    dedup aggregate must run with ZERO Exchange — the catalog's bucket
+    layout replaces the shuffle. Results must equal the shuffling
+    one-off stage on the same data."""
+    from lgid_spark.datagen import spark_web_pages_with_dups
+    from lgid_spark.pipeline import (
+        exact_dedup_bucketed,
+        exact_dedup_pages,
+        write_bucketed_pages,
+    )
+
+    pages = spark_web_pages_with_dups(spark, 120)
+    table = "bucketed_pages_plan_test"
+    try:
+        write_bucketed_pages(
+            pages, table, n_buckets=8, path=str(tmp_path / "tbl"))
+        deduped = exact_dedup_bucketed(spark, table, n_buckets=8)
+        plan = deduped._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # bucket layout replaces the shuffle
+        assert plan.count("HashAggregate") >= 1 or "SortAggregate" in plan
+
+        got = sorted(
+            (r["url"], r["dup_count"]) for r in deduped.collect())
+        want = sorted(
+            (r["url"], r["dup_count"])
+            for r in exact_dedup_pages(pages, 8).collect())
+        assert got == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
