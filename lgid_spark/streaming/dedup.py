@@ -21,7 +21,9 @@ path bounds state by deduping per url-hash bucket partition instead
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
+from ..pipeline import canonical_url
 from .incremental import WEB_PAGES_DDL
 
 
@@ -33,21 +35,26 @@ def stream_dedup_pages(
     watermark: str | None = None,
     timeout_sec: int = 300,
 ) -> None:
-    """readStream(web_pages) → dropDuplicates(url) → append parquet.
-    Each drain processes only new files (AvailableNow) and duplicates
-    are suppressed ACROSS drains via the state store."""
+    """readStream(web_pages) → dropDuplicates on the CANONICAL url →
+    append parquet. Each drain processes only new files (AvailableNow)
+    and duplicates are suppressed ACROSS drains via the state store;
+    keying on canonical_url (round 4, matching the batch job's exact
+    dedup) means a later micro-batch carrying a different SPELLING of
+    an already-seen page is suppressed too."""
     stream = (
         spark.readStream.schema(WEB_PAGES_DDL)
         .option("maxFilesPerTrigger", 64)
         .parquet(input_dir)
+        .withColumn("url_canon", canonical_url(F.col("url")))
     )
     if watermark is not None:
         deduped = stream.withWatermark(
-            "warc_ts", watermark).dropDuplicatesWithinWatermark(["url"])
+            "warc_ts", watermark).dropDuplicatesWithinWatermark(["url_canon"])
     else:
-        deduped = stream.dropDuplicates(["url"])
+        deduped = stream.dropDuplicates(["url_canon"])
     q = (
-        deduped.writeStream.format("parquet")
+        deduped.drop("url_canon")
+        .writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

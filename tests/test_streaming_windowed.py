@@ -90,3 +90,28 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.select("url").distinct().count() == got.count()
     assert got.count() == 100
+
+
+def test_streaming_dedup_collapses_messy_spellings(spark, tmp_path):
+    """Round 4: the streaming dedup keys on the CANONICAL url, matching
+    the batch job — a later drain delivering a different spelling of an
+    already-seen page is suppressed."""
+    from lgid_spark.datagen import dup_row
+    from lgid_spark.streaming.dedup import stream_dedup_pages
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark_web_pages(spark, 60).write.mode("append").parquet(inp)
+    stream_dedup_pages(spark, inp, out, ckpt)
+    assert spark.read.parquet(out).count() == 60
+
+    # drain 2: messy-url twins of pages 0..19 — all already seen
+    import pandas as pd
+
+    twins = pd.DataFrame([dup_row(i) for i in range(20)])
+    twins["warc_ts"] = pd.to_datetime(twins["warc_ts"]).dt.tz_localize(None)
+    spark.createDataFrame(twins).write.mode("append").parquet(inp)
+    stream_dedup_pages(spark, inp, out, ckpt)
+    assert spark.read.parquet(out).count() == 60  # nothing new emitted
