@@ -285,3 +285,23 @@ def test_bucketed_table_dedup_is_exchange_free(spark, tmp_path):
         assert got == want
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_near_dup_losers_no_cartesian(spark):
+    """The job's near-dup stage must stay banded-LSH equi-joins all the
+    way down — a cartesian/nested-loop product here is the classic
+    10^12-doc killer."""
+    from pyspark.sql import functions as F
+
+    from lgid_spark.pipeline import near_dup_losers
+
+    pages = spark.range(200).select(
+        F.concat(F.lit("https://h.example/p"), F.col("id")).alias("url"),
+        (F.col("id") % 8).cast("int").alias("bucket"),
+        F.concat(F.lit("some words repeated here "), (F.col("id") % 5))
+        .alias("text"),
+    )
+    losers = near_dup_losers(pages, jaccard_min=0.9)
+    plan = losers._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
