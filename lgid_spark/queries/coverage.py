@@ -274,10 +274,21 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     `.distinct()` and vec_id re-joins stay gone; a pair sharing several
     bands is kept exactly once by the first-matching-band rule (band j
     survives only if every earlier band DISAGREES), free because both
-    full signatures ride the joined row."""
+    full signatures ride the joined row.
+
+    Round 4: the band frame carries ONLY columns both join sides use
+    symmetrically (label is excluded and re-attached by a post-join
+    lookup on the surviving pairs). With the sides' projections
+    canonically IDENTICAL, the planner reuses ONE shuffle for both
+    (ReusedExchange; AQE's stage cache does the same at runtime), so
+    the RP-signature pipeline is computed once, not per side — in the
+    at-scale regime where neither side broadcasts, that halves the
+    stage. Any asymmetric column defeats this: Catalyst prunes it
+    below the exchange on one side and the subtrees stop matching
+    (plan pinned by test_plans)."""
     emb = t(spark, sf_dir, "embeddings")
     side = emb.select(
-        "vec_id", "label", "embedding", _dup_sig_col().alias("sig")
+        "vec_id", "embedding", _dup_sig_col().alias("sig")
     ).withColumn(
         "norm", F.sqrt(_dot64(F.col("embedding"), F.col("embedding")))
     )
@@ -288,18 +299,19 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ])).alias("band_idx", "band_val"),
     ).repartition("band_idx", "band_val")
     a = side.select(*[F.col(c).alias(c + "_a") for c in side.columns])
-    b = side.select(*[
-        F.col(c).alias(c + "_b")
-        for c in ["vec_id", "embedding", "sig", "norm",
-                  "band_idx", "band_val"]])
+    b = side.select(*[F.col(c).alias(c + "_b") for c in side.columns])
     pairs = a.join(
         b,
         (F.col("band_idx_a") == F.col("band_idx_b"))
         & (F.col("band_val_a") == F.col("band_val_b")),
     ).where(F.col("vec_id_a") < F.col("vec_id_b"))
+    # the first-match condition is written SYMMETRICALLY in the two
+    # sides (band_idx_a AND band_idx_b, equal by the join) — a
+    # one-sided predicate gets pushed below only one side's exchange
+    # and the subtrees stop canonicalizing equal, losing the reuse
     first_match = None
     for j in range(_N_DUP_BANDS):
-        cond = F.col("band_idx_a") == j
+        cond = (F.col("band_idx_a") == j) & (F.col("band_idx_b") == j)
         for j2 in range(j):
             cond = cond & (
                 _band_of(F.col("sig_a"), j2)
@@ -308,16 +320,21 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = pairs.where(first_match)
     cos = _dot64(F.col("embedding_a"), F.col("embedding_b")) / (
         F.col("norm_a") * F.col("norm_b"))
-    return (
+    verified = (
         pairs.withColumn("cos_sim", F.round(cos, 6))
         .where(F.col("cos_sim") >= _COS_MIN)
         .select(
             F.col("vec_id_a").alias("vec_a"),
             F.col("vec_id_b").alias("vec_b"),
-            F.col("label_a").alias("label"),
             "cos_sim",
         )
     )
+    # label lookup on the SURVIVING pairs only — tiny vs the band join;
+    # keeping label out of the band frame is what makes the sides'
+    # exchange subtrees identical (see docstring)
+    labels = emb.select(F.col("vec_id").alias("vec_a"), "label")
+    return verified.join(labels, "vec_a").select(
+        "vec_a", "vec_b", "label", "cos_sim")
 
 
 def _dup_sig_sql() -> str:

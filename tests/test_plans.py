@@ -305,3 +305,25 @@ def test_near_dup_losers_no_cartesian(spark):
     plan = losers._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_emb_near_dup_reuses_the_band_exchange(spark):
+    """Round 4: the banded self-join's two sides project IDENTICAL
+    columns, so in the at-scale planner state (sides too large to
+    broadcast) the two exchange subtrees canonicalize equal and ONE
+    shuffle is reused — the signature pipeline runs once, not per
+    side. Asserted with AQE/broadcast off for a deterministic plan;
+    AQE performs the same reuse at runtime via its stage cache."""
+    from lgid_spark.queries.coverage import emb_near_dup_pairs
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = emb_near_dup_pairs(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold",
+            str(64 * 1024 * 1024))
