@@ -51,6 +51,10 @@ def main(argv: list[str] | None = None) -> int:
                          "component)")
     ap.add_argument("--near-dup-jaccard", type=float, default=0.9,
                     help="Jaccard threshold for --near-dup (default 0.9)")
+    ap.add_argument("--near-dup-max-bucket", type=int, default=1000,
+                    help="LSH hot-bucket cap: band values shared by "
+                         "more docs are excluded from candidate "
+                         "generation (viral-template guard; 0 disables)")
     ap.add_argument("--blocklist", default=None,
                     help="text file of blocked hosts (one per line, # "
                          "comments ok); blocked rows get keep=false + a "
@@ -91,6 +95,7 @@ def main(argv: list[str] | None = None) -> int:
         dedup=not args.no_dedup,
         near_dup=args.near_dup,
         near_dup_jaccard=args.near_dup_jaccard,
+        near_dup_max_bucket=args.near_dup_max_bucket or None,
         blocked_hosts=blocked)
     res.update({"snapshot_id": snapshot, "sec": round(time.time() - t0, 2)})
     print(json.dumps(res))

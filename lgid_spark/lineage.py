@@ -168,6 +168,7 @@ def run_incremental(
     dedup: bool = True,
     near_dup: bool = False,
     near_dup_jaccard: float = 0.9,
+    near_dup_max_bucket: int = 1000,
     blocked_hosts: DataFrame | None = None,
 ) -> dict:
     """Process only not-yet-committed buckets; append output + lineage.
@@ -235,7 +236,8 @@ def run_incremental(
             return {"processed_rows": 0, "processed_buckets": 0}
         staged = pages.persist()
         losers = near_dup_losers(
-            staged, jaccard_min=near_dup_jaccard)
+            staged, jaccard_min=near_dup_jaccard,
+            max_band_bucket=near_dup_max_bucket)
         # counts keyed on the CANONICAL doc's bucket — that bucket
         # always has a surviving row, so the lineage row exists. A
         # loser removed here also takes its exact-dedup dup_count out

@@ -440,6 +440,7 @@ def near_dup_losers(
     pages: DataFrame,
     jaccard_min: float = 0.9,
     n_minhash: int = 4,
+    max_band_bucket: int = 1000,
 ) -> DataFrame:
     """Document-grain near-dup losers: one row per doc to drop, with
     its component's canonical url and that doc's bucket —
@@ -450,6 +451,15 @@ def near_dup_losers(
     all-pairs) → exact-Jaccard verify at ``jaccard_min`` → connected
     components (operators/components.py min-label loop) → per
     component every doc EXCEPT the min-url canonical is a loser.
+
+    ``max_band_bucket`` is the LSH hot-bucket guard: a band value
+    shared by B docs yields B² candidate pairs, so one viral template
+    bucket (B=10^6 → 10^12 pairs) would kill the job. Buckets above
+    the cap are excluded from candidate generation — the standard
+    production trade (such mega-clusters are boilerplate that exact /
+    line dedup already attacks; the pairwise verify that makes the
+    stage safe is exactly what can't run on them). Pass None to
+    disable.
 
     Only (url, bucket, text) are read — column pruning keeps html out
     of this branch."""
@@ -468,6 +478,16 @@ def near_dup_losers(
             F.md5(F.concat_ws("|", "h2", "h3")),
         )).alias("band_idx", "band_hash"),
     )
+    if max_band_bucket is not None:
+        # count-window-free hot-bucket filter: one map-side-combinable
+        # count per (band_idx, band_hash), anti-join the over-cap keys
+        hot = (
+            bands.groupBy("band_idx", "band_hash")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > max_band_bucket)
+            .select("band_idx", "band_hash")
+        )
+        bands = bands.join(hot, ["band_idx", "band_hash"], "left_anti")
     cand = (
         bands.select(F.col("url").alias("url_a"), "band_idx", "band_hash")
         .join(bands.select(F.col("url").alias("url_b"),

@@ -201,3 +201,31 @@ def test_run_filter_cli_blocklist(spark, tmp_path, capsys):
     total = sum((r["drop_hist"] or {}).get("blocked_domain", 0)
                 for r in hist)
     assert total == len(blocked)
+
+
+def test_near_dup_hot_bucket_cap(spark):
+    """LSH hot-bucket guard: a band value shared by more docs than
+    max_band_bucket is excluded from candidate generation (B² pairs on
+    a viral template bucket is the classic crawl-scale job killer),
+    while normal-sized near-dup groups still dedup."""
+    shared = " ".join("common words for the near dup group %d" % j
+                      for j in range(8))
+    viral = " ".join("viral template boilerplate words %d" % j
+                     for j in range(8))
+    rows = []
+    for i in range(3):  # small group: under any cap
+        rows.append((f"https://g.example/{i}", 0, shared))
+    for i in range(30):  # viral group
+        rows.append((f"https://v.example/{i}", 1, viral))
+    pages = spark.createDataFrame(
+        rows, "url string, bucket int, text string")
+
+    # cap below the viral group size: only the small group dedups
+    losers = near_dup_losers(pages, jaccard_min=0.9, max_band_bucket=10)
+    urls = sorted(r["url"] for r in losers.collect())
+    assert urls == ["https://g.example/1", "https://g.example/2"]
+
+    # cap disabled: the viral group collapses too (29 losers + 2)
+    all_losers = near_dup_losers(
+        pages, jaccard_min=0.9, max_band_bucket=None)
+    assert all_losers.count() == 31
