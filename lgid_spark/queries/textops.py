@@ -278,6 +278,8 @@ FROM stacked GROUP BY band_idx, band_hash HAVING COUNT(*) > 1
 # ---------------------------------------------------------------------------
 
 _MJ_MIN = 0.9
+_MJ_MAX_BUCKET = 1000  # LSH hot-bucket guard (B docs in a band → B²
+                       # candidates); replicated in the DuckDB oracle
 
 
 @_q("minhash_jaccard_pairs")
@@ -296,6 +298,13 @@ def minhash_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws("|", "h2", "h3")),
         )).alias("band_idx", "band_hash"),
     )
+    hot = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > _MJ_MAX_BUCKET)
+        .select("band_idx", "band_hash")
+    )
+    bands = bands.join(hot, ["band_idx", "band_hash"], "left_anti")
     cand = (
         bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
         .join(bands.select(F.col("doc_id").alias("doc_b"),
@@ -334,10 +343,18 @@ WITH w AS (
   SELECT doc_id,
     {', '.join(f"MIN(md5('s{k}|' || w)) AS h{k}" for k in range(4))}
   FROM w GROUP BY doc_id
-), bands AS (
+), bands0 AS (
   SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_hash FROM sig
   UNION ALL
   SELECT doc_id, 1 AS band_idx, md5(h2 || '|' || h3) AS band_hash FROM sig
+), hot AS (
+  SELECT band_idx, band_hash FROM bands0
+  GROUP BY band_idx, band_hash HAVING COUNT(*) > {_MJ_MAX_BUCKET}
+), bands AS (
+  SELECT b0.* FROM bands0 b0
+  LEFT JOIN hot h
+    ON b0.band_idx = h.band_idx AND b0.band_hash = h.band_hash
+  WHERE h.band_hash IS NULL
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
