@@ -4,7 +4,8 @@
 Usage:
     spark-submit --py-files dist/lgid_spark.zip \\
         lgid_spark/jobs/run_filter.py \\
-        --input  /path/web_pages_parquet   (or synth:N / synthdup:N)
+        --input  /path/web_pages_parquet   (or synth:N / synthdup:N /
+                 table:NAME / bucketed:/path/from/write_bucketed_pages)
         --output /path/filtered
         --metrics /path/metrics
         [--snapshot-id run-2026-08-16] [--buckets 64]
@@ -74,6 +75,20 @@ def main(argv: list[str] | None = None) -> int:
             spark, int(args.input.split(":", 1)[1]))
     elif args.input.startswith("synth:"):
         pages = spark_web_pages(spark, int(args.input.split(":", 1)[1]))
+    elif args.input.startswith("table:"):
+        # a catalog table (e.g. written by write_bucketed_pages in a
+        # metastore-backed deployment); a CLUSTERED BY (url_canon)
+        # layout makes the dedup stage exchange-free
+        pages = spark.table(args.input.split(":", 1)[1])
+    elif args.input.startswith("bucketed:"):
+        # bare files from write_bucketed_pages: re-attach the bucket
+        # layout to this session's catalog, then read as a table
+        from lgid_spark.pipeline import register_bucketed_pages
+
+        bpath = args.input.split(":", 1)[1]
+        register_bucketed_pages(
+            spark, "lgid_pages_bucketed", bpath, args.buckets)
+        pages = spark.table("lgid_pages_bucketed")
     else:
         pages = spark.read.parquet(args.input)
 

@@ -207,6 +207,10 @@ def run_incremental(
         # near-dup is the one consumer of text downstream
         needed = ["url", "warc_ts", "html", "lang"] + (
             ["text"] if near_dup else [])
+        if "url_canon" in pages.columns:
+            # pre-canonicalized bucketed table: keep the layout column
+            # so the dedup aggregate runs exchange-free on its scan
+            needed.append("url_canon")
         pages = exact_dedup_pages(
             pages.select(*[c for c in needed if c in pages.columns]),
             n_buckets)
@@ -225,7 +229,14 @@ def run_incremental(
         # is a column-pruned url scan, not a run of the dedup shuffle.
         from .pipeline import canonical_url
 
-        key = (canonical_url(F.col("url")) if dedup else F.col("url"))
+        if dedup:
+            # prefer a stored url_canon column: same value, but the
+            # probe then scans ONE pruned column of the bucketed table
+            key = (F.col("url_canon")
+                   if "url_canon" in web_pages.columns
+                   else canonical_url(F.col("url")))
+        else:
+            key = F.col("url")
         probe_buckets = web_pages.select(
             F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int")
             .alias("bucket")).distinct()

@@ -414,19 +414,29 @@ def exact_dedup_pages(
     Scale shape: ONE shuffle on the canonical key with map-side
     combine (min/count partial aggregation) — the same shape as the
     line-dedup fix; no window, no row_number, no skew pile-up.
+
+    If the input already carries ``url_canon`` (a table written by
+    write_bucketed_pages / attached by register_bucketed_pages), the
+    column is trusted instead of recomputed and the aggregate groups
+    on it directly — over a catalog-bucketed scan Spark then runs the
+    dedup with ZERO Exchange (the steady-state 100-TB shape; the
+    shuffle was paid once at table-write time).
     """
-    cols = pages.columns  # url, warc_ts, html, text, lang
+    pre_canonical = "url_canon" in pages.columns
+    cols = [c for c in pages.columns if c != "url_canon"]
     rest = [c for c in cols if c not in ("warc_ts", "url")]
-    canon = pages.withColumn("url_canon", canonical_url(F.col("url")))
-    canon = canon.withColumn(
-        "bucket",
-        F.pmod(F.xxhash64("url_canon"), F.lit(n_buckets)).cast("int"))
-    grouped = canon.groupBy("bucket", "url_canon").agg(
+    canon = (pages if pre_canonical else
+             pages.withColumn("url_canon", canonical_url(F.col("url"))))
+    # group on url_canon ALONE: bucket is a pure function of it, and
+    # keeping derived columns out of the grouping key lets a bucketed
+    # scan's layout satisfy the aggregate's distribution requirement
+    grouped = canon.groupBy("url_canon").agg(
         F.min(F.struct("warc_ts", "url", *rest)).alias("_w"),
         F.count("*").alias("dup_count"),
     )
     return grouped.select(
-        "bucket",
+        F.pmod(F.xxhash64("url_canon"), F.lit(n_buckets)).cast("int")
+        .alias("bucket"),
         *[F.col(f"_w.{c}").alias(c) for c in cols],
         "dup_count",
     )
@@ -545,6 +555,11 @@ def write_bucketed_pages(
     partition transforms. See exact_dedup_bucketed for the
     exchange-free consumer."""
     canon = pages.withColumn("url_canon", canonical_url(F.col("url")))
+    # repartition ON the bucket key before the bucketed write: Spark's
+    # bucket id and repartition(n, col) use the same Murmur3 hash, so
+    # each write task holds exactly one bucket → one file per bucket
+    # instead of (tasks × buckets) small files
+    canon = canon.repartition(n_buckets, F.col("url_canon"))
     writer = (
         canon.write.mode("overwrite")
         .bucketBy(n_buckets, "url_canon")
@@ -569,16 +584,36 @@ def exact_dedup_bucketed(
     exact_dedup_pages shuffle converges to once the crawl table itself
     is bucketed (first write pays the exchange once; every downstream
     dedup/backfill is free)."""
-    t = spark.table(table_name)
-    cols = [c for c in t.columns if c != "url_canon"]
-    rest = [c for c in cols if c not in ("warc_ts", "url")]
-    grouped = t.groupBy("url_canon").agg(
-        F.min(F.struct("warc_ts", "url", *rest)).alias("_w"),
-        F.count("*").alias("dup_count"),
-    )
-    return grouped.select(
-        F.pmod(F.xxhash64("url_canon"), F.lit(n_buckets)).cast("int")
-        .alias("bucket"),
-        *[F.col(f"_w.{c}").alias(c) for c in cols],
-        "dup_count",
-    )
+    return exact_dedup_pages(spark.table(table_name), n_buckets)
+
+
+def register_bucketed_pages(
+    spark: SparkSession,
+    table_name: str,
+    path: str,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+) -> None:
+    """Attach an existing bucketed-pages dataset to THIS session's
+    catalog (the Iceberg-metadata stand-in for the sandbox's
+    in-memory catalog, which forgets tables between sessions).
+
+    ``path`` must hold files produced by write_bucketed_pages with the
+    SAME ``n_buckets`` — Spark parses the bucket id from the writer's
+    file names, and a wrong N (or foreign files) would silently
+    mis-bucket every downstream exchange-free aggregate. The schema is
+    inferred from the parquet footers; the DDL re-declares the
+    CLUSTERED/SORTED BY layout so a brand-new session (a resume run, a
+    different cluster) gets the zero-Exchange dedup without rewriting
+    the table."""
+    schema = spark.read.parquet(path).schema
+    if "url_canon" not in schema.fieldNames():
+        raise ValueError(
+            f"{path} has no url_canon column — not a "
+            "write_bucketed_pages dataset")
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+    spark.sql(
+        f"CREATE TABLE `{table_name}` ({cols}) USING parquet "
+        f"CLUSTERED BY (url_canon) SORTED BY (url_canon) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'")

@@ -229,3 +229,42 @@ def test_near_dup_hot_bucket_cap(spark):
     all_losers = near_dup_losers(
         pages, jaccard_min=0.9, max_band_bucket=None)
     assert all_losers.count() == 31
+
+
+def test_run_filter_cli_bucketed_input(spark, tmp_path, capsys):
+    """--input bucketed:PATH attaches write_bucketed_pages files to a
+    fresh catalog and runs the job over them; the results (winners,
+    dup counts, lineage books) must be identical to the same data fed
+    as plain parquet — only the plan changes (dedup exchange-free)."""
+    from lgid_spark.jobs.run_filter import main
+    from lgid_spark.pipeline import write_bucketed_pages
+
+    pages = spark_web_pages_with_dups(spark, 120)
+    plain = str(tmp_path / "plain.parquet")
+    pages.write.parquet(plain)
+    bpath = str(tmp_path / "bucketed_tbl")
+    write_bucketed_pages(pages, "cli_bucketed_src", n_buckets=8,
+                         path=bpath)
+    spark.sql("DROP TABLE IF EXISTS cli_bucketed_src")  # files only
+
+    results = {}
+    for name, inp in [("plain", plain), ("bucketed", f"bucketed:{bpath}")]:
+        out = str(tmp_path / f"out_{name}")
+        metrics = str(tmp_path / f"metrics_{name}")
+        rc = main([
+            "--input", inp, "--output", out, "--metrics", metrics,
+            "--snapshot-id", f"snap-{name}", "--buckets", "8",
+        ])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        rows = sorted(
+            (r["url"], r["dup_count"], r["keep"])
+            for r in spark.read.parquet(out).collect())
+        books = spark.read.parquet(metrics).agg(
+            F.sum("input_count").alias("inp"),
+            F.sum("dedup_dropped").alias("dd")).collect()[0]
+        results[name] = (res["processed_rows"], rows,
+                         books["inp"], books["dd"])
+    assert results["plain"] == results["bucketed"]
+    # dup-saturated generator: the exact stage really dropped rows
+    assert results["bucketed"][3] > 0

@@ -287,6 +287,59 @@ def test_bucketed_table_dedup_is_exchange_free(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_registered_bucketed_table_pipeline_is_exchange_free(
+        spark, tmp_path):
+    """The steady-state production shape (round 4, TODO#3): a NEW
+    session re-attaches the bucketed files via register_bucketed_pages
+    (the in-memory-catalog stand-in for Iceberg table metadata), and
+    the whole dedup → fused-UDF labelled plan — exactly what
+    run_incremental builds upstream of the output write — runs with
+    ZERO Exchange. The one-off dedup shuffle has become a table-write-
+    time cost; every incremental/backfill run is shuffle-free until
+    the lineage aggregate."""
+    from lgid_spark.datagen import spark_web_pages_with_dups
+    from lgid_spark.pipeline import (
+        exact_dedup_pages,
+        quality_pipeline,
+        register_bucketed_pages,
+        write_bucketed_pages,
+    )
+
+    pages = spark_web_pages_with_dups(spark, 120)
+    table = "bucketed_pages_reattach_test"
+    path = str(tmp_path / "tbl")
+    try:
+        write_bucketed_pages(pages, table, n_buckets=8, path=path)
+        # simulate the next session: the catalog entry is gone, only
+        # the files remain — re-declare the layout from the path
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        register_bucketed_pages(spark, table, path, n_buckets=8)
+
+        t = spark.table(table)
+        staged = exact_dedup_pages(
+            t.select("url", "warc_ts", "html", "lang", "url_canon"), 8)
+        labelled = quality_pipeline(
+            spark, staged, n_buckets=8, emit_extracted=False,
+            extra_cols=("dup_count",))
+        plan = labelled._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+        got = sorted(
+            (r["url"], r["dup_count"], r["keep"])
+            for r in labelled.select("url", "dup_count", "keep").collect())
+        want = sorted(
+            (r["url"], r["dup_count"], r["keep"])
+            for r in quality_pipeline(
+                spark, exact_dedup_pages(
+                    pages.select("url", "warc_ts", "html", "lang"), 8),
+                n_buckets=8, emit_extracted=False,
+                extra_cols=("dup_count",),
+            ).select("url", "dup_count", "keep").collect())
+        assert got == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_near_dup_losers_no_cartesian(spark):
     """The job's near-dup stage must stay banded-LSH equi-joins all the
     way down — a cartesian/nested-loop product here is the classic
