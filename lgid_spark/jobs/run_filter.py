@@ -33,11 +33,22 @@ import time
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True,
-                    help="web_pages parquet path, or synth:N")
+                    help="web_pages parquet path, or synth:N / "
+                         "synthdup:N (generated), table:NAME (catalog "
+                         "table), bucketed:PATH (files from "
+                         "write_bucketed_pages; registered with "
+                         "--table-buckets, making dedup exchange-free)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--metrics", required=True)
     ap.add_argument("--snapshot-id", default=None)
-    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--buckets", type=int, default=64,
+                    help="output/lineage bucket count (the url-hash "
+                         "partition key of the OUTPUT table)")
+    ap.add_argument("--table-buckets", type=int, default=None,
+                    help="physical bucket count of a bucketed: input "
+                         "table — independent of --buckets; default: "
+                         "inferred from the part-file names (exact "
+                         "unless the highest buckets are empty)")
     ap.add_argument("--emit-extracted", action="store_true",
                     help="also write pre-scrub extracted_text (debug/"
                          "parity; ~2x text bytes through Arrow + output)")
@@ -70,6 +81,7 @@ def main(argv: list[str] | None = None) -> int:
     from lgid_spark.datagen import spark_web_pages, spark_web_pages_with_dups
     from lgid_spark.lineage import run_incremental
 
+    trust_url_canon = False
     if args.input.startswith("synthdup:"):
         pages = spark_web_pages_with_dups(
             spark, int(args.input.split(":", 1)[1]))
@@ -80,15 +92,20 @@ def main(argv: list[str] | None = None) -> int:
         # metastore-backed deployment); a CLUSTERED BY (url_canon)
         # layout makes the dedup stage exchange-free
         pages = spark.table(args.input.split(":", 1)[1])
+        trust_url_canon = True
     elif args.input.startswith("bucketed:"):
         # bare files from write_bucketed_pages: re-attach the bucket
-        # layout to this session's catalog, then read as a table
+        # layout to this session's catalog, then read as a table.
+        # NB --table-buckets (the table's physical layout, validated /
+        # inferred from file names) is NOT --buckets (the job's output
+        # partition count)
         from lgid_spark.pipeline import register_bucketed_pages
 
         bpath = args.input.split(":", 1)[1]
         register_bucketed_pages(
-            spark, "lgid_pages_bucketed", bpath, args.buckets)
+            spark, "lgid_pages_bucketed", bpath, args.table_buckets)
         pages = spark.table("lgid_pages_bucketed")
+        trust_url_canon = True
     else:
         pages = spark.read.parquet(args.input)
 
@@ -111,7 +128,8 @@ def main(argv: list[str] | None = None) -> int:
         near_dup=args.near_dup,
         near_dup_jaccard=args.near_dup_jaccard,
         near_dup_max_bucket=args.near_dup_max_bucket or None,
-        blocked_hosts=blocked)
+        blocked_hosts=blocked,
+        trust_url_canon=trust_url_canon)
     res.update({"snapshot_id": snapshot, "sec": round(time.time() - t0, 2)})
     print(json.dumps(res))
     return 0

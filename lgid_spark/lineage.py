@@ -170,6 +170,7 @@ def run_incremental(
     near_dup_jaccard: float = 0.9,
     near_dup_max_bucket: int = 1000,
     blocked_hosts: DataFrame | None = None,
+    trust_url_canon: bool = False,
 ) -> dict:
     """Process only not-yet-committed buckets; append output + lineage.
 
@@ -185,7 +186,11 @@ def run_incremental(
       spellings of one page collapse to the earliest crawl, cost the
       UDF pass zero work, and the bucket key becomes the CANONICAL
       url hash so variants co-locate; the output gains a ``dup_count``
-      column and lineage a ``dedup_dropped`` count.
+      column and lineage a ``dedup_dropped`` count. With
+      ``trust_url_canon`` (run_filter's table:/bucketed: inputs) a
+      stored url_canon column is used as-is, which over a CLUSTERED BY
+      (url_canon) table makes the stage exchange-free; untrusted
+      inputs always re-canonicalize.
     * ``near_dup`` (opt-in): MinHash-band → exact-Jaccard →
       connected-components document dedup at ``near_dup_jaccard``;
       per component only the min-url canonical doc survives. The
@@ -207,9 +212,14 @@ def run_incremental(
         # near-dup is the one consumer of text downstream
         needed = ["url", "warc_ts", "html", "lang"] + (
             ["text"] if near_dup else [])
-        if "url_canon" in pages.columns:
+        if trust_url_canon and "url_canon" in pages.columns:
             # pre-canonicalized bucketed table: keep the layout column
-            # so the dedup aggregate runs exchange-free on its scan
+            # so the dedup aggregate runs exchange-free on its scan.
+            # Opt-in (run_filter sets it for table:/bucketed: inputs
+            # only): a plain parquet input that merely HAPPENS to
+            # carry a url_canon column — foreign, or written before a
+            # canonical_url change — must be re-canonicalized, not
+            # trusted
             needed.append("url_canon")
         pages = exact_dedup_pages(
             pages.select(*[c for c in needed if c in pages.columns]),
@@ -230,10 +240,11 @@ def run_incremental(
         from .pipeline import canonical_url
 
         if dedup:
-            # prefer a stored url_canon column: same value, but the
-            # probe then scans ONE pruned column of the bucketed table
+            # prefer a TRUSTED stored url_canon column: same value,
+            # but the probe then scans ONE pruned column of the
+            # bucketed table
             key = (F.col("url_canon")
-                   if "url_canon" in web_pages.columns
+                   if trust_url_canon and "url_canon" in web_pages.columns
                    else canonical_url(F.col("url")))
         else:
             key = F.col("url")

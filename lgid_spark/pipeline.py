@@ -587,33 +587,81 @@ def exact_dedup_bucketed(
     return exact_dedup_pages(spark.table(table_name), n_buckets)
 
 
+def _bucket_file_ids(spark: SparkSession, path: str) -> list[int]:
+    """Bucket ids parsed from the writer's file names (…_NNNNN.c000…)
+    at ``path``, via the Hadoop FS API so hdfs://s3a:// paths work."""
+    import re
+
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    ids = []
+    for st in fs.listStatus(hpath):
+        m = re.search(r"_(\d{5})\.", st.getPath().getName())
+        if m:
+            ids.append(int(m.group(1)))
+    return ids
+
+
 def register_bucketed_pages(
     spark: SparkSession,
     table_name: str,
     path: str,
-    n_buckets: int = N_BUCKETS_DEFAULT,
-) -> None:
+    n_buckets: int | None = None,
+) -> int:
     """Attach an existing bucketed-pages dataset to THIS session's
     catalog (the Iceberg-metadata stand-in for the sandbox's
     in-memory catalog, which forgets tables between sessions).
+    Returns the registered bucket count.
 
-    ``path`` must hold files produced by write_bucketed_pages with the
-    SAME ``n_buckets`` — Spark parses the bucket id from the writer's
-    file names, and a wrong N (or foreign files) would silently
-    mis-bucket every downstream exchange-free aggregate. The schema is
-    inferred from the parquet footers; the DDL re-declares the
+    ``path`` must hold files produced by write_bucketed_pages. The
+    declared bucket count MUST match the writer's: Spark's bucketed
+    scan tabulates file partitions for ids 0..N-1 only, so declaring
+    too few silently drops every higher-numbered file from every scan,
+    and declaring too many mis-states the hash distribution for bucket
+    pruning and bucketed joins. The count is therefore checked against
+    the bucket ids parsed from the file names; with n_buckets=None it
+    is inferred as max_id+1 (exact unless the highest-numbered buckets
+    happen to be empty — pass it explicitly when in doubt). The schema
+    is inferred from the parquet footers; the DDL re-declares the
     CLUSTERED/SORTED BY layout so a brand-new session (a resume run, a
     different cluster) gets the zero-Exchange dedup without rewriting
     the table."""
+    import re
+
     schema = spark.read.parquet(path).schema
     if "url_canon" not in schema.fieldNames():
         raise ValueError(
             f"{path} has no url_canon column — not a "
             "write_bucketed_pages dataset")
+    ids = _bucket_file_ids(spark, path)
+    if not ids:
+        raise ValueError(
+            f"{path} has no bucketed part files (…_NNNNN.…) — not a "
+            "write_bucketed_pages dataset")
+    if n_buckets is None:
+        n_buckets = max(ids) + 1
+    elif max(ids) >= n_buckets:
+        raise ValueError(
+            f"{path} holds bucket ids up to {max(ids)} but n_buckets="
+            f"{n_buckets}: Spark would silently drop every file with "
+            f"id >= {n_buckets} from all scans — pass the bucket count "
+            "the table was written with")
+    if not re.fullmatch(r"[A-Za-z0-9_]+", table_name):
+        raise ValueError(f"invalid table name: {table_name!r}")
+    if spark.catalog.tableExists(table_name):
+        ttype = (spark.catalog.getTable(table_name).tableType or "").upper()
+        if ttype != "EXTERNAL":
+            raise ValueError(
+                f"table {table_name} already exists and is {ttype or 'MANAGED'}"
+                " — dropping it would delete its data; pick another name"
+                " or drop it explicitly")
+        spark.sql(f"DROP TABLE `{table_name}`")
     cols = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
-    spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+    loc = path.replace("'", "''")
     spark.sql(
         f"CREATE TABLE `{table_name}` ({cols}) USING parquet "
         f"CLUSTERED BY (url_canon) SORTED BY (url_canon) "
-        f"INTO {n_buckets} BUCKETS LOCATION '{path}'")
+        f"INTO {n_buckets} BUCKETS LOCATION '{loc}'")
+    return n_buckets

@@ -268,3 +268,21 @@ def test_run_filter_cli_bucketed_input(spark, tmp_path, capsys):
     assert results["plain"] == results["bucketed"]
     # dup-saturated generator: the exact stage really dropped rows
     assert results["bucketed"][3] > 0
+
+
+def test_untrusted_url_canon_is_recomputed(spark, tmp_path):
+    """A plain input that merely HAPPENS to carry a url_canon column
+    (foreign writer, or a layout predating a canonical_url change)
+    must be re-canonicalized, not trusted: trust is opt-in and only
+    run_filter's table:/bucketed: inputs set it."""
+    pages = spark_web_pages_with_dups(spark, 60).withColumn(
+        "url_canon", F.lit("bogus-collapses-everything"))
+    out, metrics = str(tmp_path / "out"), str(tmp_path / "metrics")
+    res = run_incremental(
+        spark, pages, out, metrics, "snap-untrusted", N_BUCKETS)
+    dd = spark.read.parquet(metrics).agg(
+        F.sum("dedup_dropped")).collect()[0][0]
+    # honest canonical-url dedup: 15 messy twins collapse (60/DUP_EVERY);
+    # trusting the bogus column would have collapsed all 75 rows to 1
+    assert dd == 15
+    assert res["processed_rows"] == 60

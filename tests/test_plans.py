@@ -380,3 +380,35 @@ def test_emb_near_dup_reuses_the_band_exchange(spark):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold",
             str(64 * 1024 * 1024))
+
+
+def test_register_bucketed_pages_validates_layout(spark, tmp_path):
+    """The declared bucket count must match the files: too small would
+    make Spark silently drop every higher-numbered file from every
+    scan, so it fails fast; None infers the count from the file names;
+    an existing managed table is never dropped (its data would go with
+    it)."""
+    import pytest
+
+    from lgid_spark.datagen import spark_web_pages_with_dups
+    from lgid_spark.pipeline import (
+        register_bucketed_pages,
+        write_bucketed_pages,
+    )
+
+    pages = spark_web_pages_with_dups(spark, 120)
+    path = str(tmp_path / "tbl8")
+    try:
+        write_bucketed_pages(pages, "reg_val_t", n_buckets=8, path=path)
+        spark.sql("DROP TABLE IF EXISTS reg_val_t")
+
+        with pytest.raises(ValueError, match="bucket ids up to"):
+            register_bucketed_pages(spark, "reg_val_t", path, n_buckets=4)
+        assert register_bucketed_pages(spark, "reg_val_t", path) == 8
+
+        spark.range(1).write.mode("overwrite").saveAsTable("reg_val_managed")
+        with pytest.raises(ValueError, match="MANAGED"):
+            register_bucketed_pages(spark, "reg_val_managed", path, 8)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS reg_val_t")
+        spark.sql("DROP TABLE IF EXISTS reg_val_managed")
