@@ -472,15 +472,35 @@ def near_dup_losers(
     disable.
 
     Only (url, bucket, text) are read — column pruning keeps html out
-    of this branch."""
+    of this branch.
+
+    Signatures and set sizes are pure per-row ARRAY expressions
+    (array_min over transform), not explode+groupBy: zero shuffle and
+    zero aggregation state for the signature pass — at 10^12 docs an
+    explode+groupBy signature build keeps a per-url hash-agg map alive
+    across every word of every doc for no reason (the words of a doc
+    are already co-located in its row). Only the exact-Jaccard verify
+    explodes words, because intersecting two docs' sets genuinely
+    needs word-grain rows."""
     from .operators.components import connected_components
 
+    def _word_hash(k: int):
+        # closure factory, NOT a k=k default arg: Spark higher-order
+        # lambdas must have exactly the arity Spark expects
+        return lambda w: F.md5(F.concat(F.lit(f"s{k}|"), w))
+
+    words_arr = F.array_distinct(_page_words(F.col("text")))
+    # whitespace-only docs have no shingles and can never be near-dups;
+    # without this filter their NULL minhashes would all collide into
+    # one giant all-empty-docs band bucket
+    sig = pages.where(F.size(words_arr) > 0).select(
+        "url",
+        F.size(words_arr).alias("sz"),
+        *[F.array_min(F.transform(words_arr, _word_hash(k))).alias(f"h{k}")
+          for k in range(n_minhash)],
+    )
     w = pages.select(
-        "url", F.explode(F.array_distinct(_page_words(F.col("text")))).alias("w"))
-    sig = w.groupBy("url").agg(*[
-        F.min(F.md5(F.concat(F.lit(f"s{k}|"), F.col("w")))).alias(f"h{k}")
-        for k in range(n_minhash)
-    ])
+        "url", F.explode(words_arr).alias("w"))
     bands = sig.select(
         "url",
         F.posexplode(F.array(
@@ -507,7 +527,7 @@ def near_dup_losers(
         .select("url_a", "url_b")
         .distinct()
     )
-    sizes = w.groupBy("url").agg(F.count("*").alias("sz"))
+    sizes = sig.select("url", "sz")
     wa = w.select(F.col("url").alias("url_a"), "w")
     wb = w.select(F.col("url").alias("url_b"), "w")
     edges = (

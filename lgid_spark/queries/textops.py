@@ -200,17 +200,27 @@ FROM documents GROUP BY text_md5
 N_MINHASH = 8
 
 
+def _minhash_col(k: int):
+    # closure factory (a k=k default arg breaks Spark HOF arity)
+    return lambda w: F.md5(F.concat(F.lit(f"s{k}|"), w))
+
+
 @_q("minhash_signatures")
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signatures are per-row ARRAY expressions (array_min/transform),
+    not explode+groupBy: a doc's words are already co-located in its
+    row, so the whole signature pass is shuffle-free with zero
+    aggregation state — the shape that survives 10^12 docs. The DuckDB
+    oracle keeps the equivalent unnest+GROUP BY formulation, so the two
+    independent derivations cross-check each other. Empty-shingle docs
+    are dropped, matching the explode form (no rows → no group)."""
     docs = t(spark, sf_dir, "documents")
-    shingle = docs.select(
-        "doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("w")
+    arr = F.array_distinct(_words(F.col("text")))
+    return docs.where(F.size(arr) > 0).select(
+        "doc_id",
+        *[F.array_min(F.transform(arr, _minhash_col(k))).alias(f"h{k}")
+          for k in range(N_MINHASH)],
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"s{k}|"), F.col("w")))).alias(f"h{k}")
-        for k in range(N_MINHASH)
-    ]
-    return shingle.groupBy("doc_id").agg(*aggs)
 
 
 ORACLE_SQL["minhash_signatures"] = f"""
@@ -285,12 +295,16 @@ _MJ_MAX_BUCKET = 1000  # LSH hot-bucket guard (B docs in a band → B²
 @_q("minhash_jaccard_pairs")
 def minhash_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    w = docs.select(
-        "doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("w"))
-    sig = w.groupBy("doc_id").agg(*[
-        F.min(F.md5(F.concat(F.lit(f"s{k}|"), F.col("w")))).alias(f"h{k}")
-        for k in range(4)
-    ])
+    arr = F.array_distinct(_words(F.col("text")))
+    w = docs.select("doc_id", F.explode(arr).alias("w"))
+    # shuffle-free signature + set-size pass (see minhash_signatures);
+    # only the exact-intersection verify below needs word-grain rows
+    sig = docs.where(F.size(arr) > 0).select(
+        "doc_id",
+        F.size(arr).alias("sz"),
+        *[F.array_min(F.transform(arr, _minhash_col(k))).alias(f"h{k}")
+          for k in range(4)],
+    )
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(
@@ -314,7 +328,7 @@ def minhash_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sizes = w.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sizes = sig.select("doc_id", "sz")
     wa = w.select(F.col("doc_id").alias("doc_a"), "w")
     wb = w.select(F.col("doc_id").alias("doc_b"), "w")
     inter = (
