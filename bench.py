@@ -6,9 +6,11 @@ filter pipeline on a 960k-doc input (steady-state docs/s comparable
 round-over-round), AND measures the same pipeline at local[8] vs
 local[32] on one input (the sandbox stand-in for N vs 4N executors per
 the north rule) reporting throughput at both plus scaling efficiency
-= (T_N/T_4N)/4. Prints ONE JSON line:
+= (T_N/T_4N)/4 — for TWO shapes: the UDF pass alone ("scaling") and
+the production job with the default-on dedup stage over the bucketed
+crawl-table layout ("scaling_dedup_bucketed"). Prints ONE JSON line:
 {"metric", "value", "unit": "sec", "queries": {...}, "sf", ...,
- "scaling": {...}}.
+ "scaling": {...}, "scaling_dedup_bucketed": {...}}.
 
 --no-scaling skips the two-parallelism measurement (quick local runs).
 """
@@ -210,7 +212,8 @@ def _fresh_spark(cpus: int):
     )
 
 
-def _pinned_pipeline_run(cores: int, n_docs: int, reps: int = 5) -> float:
+def _pinned_pipeline_run(cores: int, n_docs: int, reps: int = 5,
+                         shape: str = "full") -> float:
     """Median-of-`reps` steady-state pipeline time in a subprocess
     hard-pinned to `cores` CPUs via taskset — the sandbox stand-in for an
     N-executor cluster. Without pinning, a local[8] job's Python workers
@@ -221,7 +224,7 @@ def _pinned_pipeline_run(cores: int, n_docs: int, reps: int = 5) -> float:
     cmd = [
         "taskset", "-c", f"0-{cores - 1}",
         sys.executable, os.path.abspath(__file__),
-        "--pipeline-only", str(cores), str(n_docs), str(reps),
+        "--pipeline-only", str(cores), str(n_docs), str(reps), shape,
     ]
     out = subprocess.run(
         cmd, capture_output=True, text=True, check=True,
@@ -230,14 +233,23 @@ def _pinned_pipeline_run(cores: int, n_docs: int, reps: int = 5) -> float:
     return float(out.stdout.strip().splitlines()[-1])
 
 
-def _pipeline_only(cores: int, n_docs: int, reps: int = 5) -> None:
+def _pipeline_only(cores: int, n_docs: int, reps: int = 5,
+                   shape: str = "full") -> None:
     import statistics
 
     spark = _fresh_spark(cores)
+    kw = {}
+    if shape == "dedup_bucketed":
+        # the PRODUCTION job shape: dedup default-on over the bucketed
+        # crawl-table layout (register-only here — the table is
+        # materialized by the parent before the pinned runs)
+        kw = dict(production=True,
+                  bucketed_table=_materialize_bucketed_pages(spark, n_docs))
     # warm pass (worker imports + JVM JIT), then median — observed
     # run-to-run variance on this box is ±20%
-    _run_pipeline(spark, n_docs)
-    times = [_run_pipeline(spark, n_docs, warm=False) for _ in range(reps)]
+    _run_pipeline(spark, n_docs, **kw)
+    times = [_run_pipeline(spark, n_docs, warm=False, **kw)
+             for _ in range(reps)]
     spark.stop()
     print(statistics.median(times))
 
@@ -314,7 +326,9 @@ def main() -> None:
     if "--pipeline-only" in sys.argv:
         i = sys.argv.index("--pipeline-only")
         reps = int(sys.argv[i + 3]) if len(sys.argv) > i + 3 else 5
-        _pipeline_only(int(sys.argv[i + 1]), int(sys.argv[i + 2]), reps)
+        shape = sys.argv[i + 4] if len(sys.argv) > i + 4 else "full"
+        _pipeline_only(int(sys.argv[i + 1]), int(sys.argv[i + 2]), reps,
+                       shape)
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -424,6 +438,37 @@ def main() -> None:
             # per-core speed constant when adding machines)
             "hw_frequency_ceiling": round(ceiling, 3),
             "efficiency_hw_normalized": round(min(eff / ceiling, 1.0), 3),
+        }
+        # second block: the PRODUCTION job shape (dedup default-on,
+        # bucketed crawl-table input — the exchange-free steady state).
+        # The north rule's scaling criterion must hold for the job a
+        # user actually runs, not just the UDF pass in isolation. The
+        # hw ceiling is the same machine property measured above.
+        _s = _fresh_spark(2)
+        _materialize_bucketed_pages(_s, sc_docs)  # files exist (untimed)
+        _s.stop()
+        time.sleep(10)
+        td_hi = _pinned_pipeline_run(hi, sc_docs, reps=3,
+                                     shape="dedup_bucketed")
+        time.sleep(10)
+        td_lo = _pinned_pipeline_run(lo, sc_docs, reps=3,
+                                     shape="dedup_bucketed")
+        time.sleep(10)
+        td_hi = min(td_hi, _pinned_pipeline_run(
+            hi, sc_docs, reps=3, shape="dedup_bucketed"))
+        d_eff = (td_lo / td_hi) / (hi / lo)
+        result["scaling_dedup_bucketed"] = {
+            "n_cores": lo,
+            "4n_cores": hi,
+            "docs": sc_docs,
+            "sec_at_n": round(td_lo, 3),
+            "sec_at_4n": round(td_hi, 3),
+            "docs_per_sec_at_n": round(sc_docs / td_lo, 1),
+            "docs_per_sec_at_4n": round(sc_docs / td_hi, 1),
+            "efficiency": round(d_eff, 3),
+            "hw_frequency_ceiling": round(ceiling, 3),
+            "efficiency_hw_normalized": round(
+                min(d_eff / ceiling, 1.0), 3),
         }
 
     print(json.dumps(result))
