@@ -26,14 +26,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, set]:
+    """localCheckpoint(eager) and return the persistent-RDD ids it
+    created, so superseded rounds can be unpersisted explicitly instead
+    of lingering until the driver's ContextCleaner happens to run."""
+    jsc = df.sparkSession.sparkContext._jsc
+    before = {rid for rid in jsc.getPersistentRDDs().keySet()}
+    out = df.localCheckpoint(eager=True)
+    after = {rid for rid in jsc.getPersistentRDDs().keySet()}
+    return out, after - before
+
+
+def _unpersist_ids(df: DataFrame, ids: set) -> None:
+    jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+    for rid in ids:
+        rdd = jmap.get(rid)
+        if rdd is not None:
+            rdd.unpersist(False)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 25,
+    max_iter: int = 50,
 ) -> DataFrame:
     """edges (undirected pairs) → (vertex, component) where component =
-    min vertex id reachable. Vertices = every endpoint in `edges`."""
+    min vertex id reachable. Vertices = every endpoint in `edges`.
+
+    Raises RuntimeError if labels have not converged after ``max_iter``
+    rounds (propagation needs ~graph-diameter rounds; a silent break
+    would return split components and a dedup stage would then keep
+    several "canonical" docs from one duplicate group)."""
     # materialize the edge list ONCE — the join below re-evaluates its
     # input every round, and `edges` may be an expensive DAG (e.g. the
     # LSH near-dup pipeline)
@@ -42,11 +66,11 @@ def connected_components(
     ).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).distinct().localCheckpoint(eager=True)
-    labels = (
+    labels, prev_ids = _checkpoint_tracked(
         sym.select(F.col("a").alias("vertex")).distinct()
         .withColumn("label", F.col("vertex"))
-        .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["vertex"])
@@ -54,7 +78,7 @@ def connected_components(
         )
         # checkpoint FIRST (one materialization per round), then run the
         # cheap convergence probe against the checkpointed frame
-        new_labels = (
+        new_labels, new_ids = _checkpoint_tracked(
             labels.join(
                 neighbor_min, labels["vertex"] == neighbor_min["a"], "left")
             .select(
@@ -64,14 +88,24 @@ def connected_components(
                 ).alias("new_label"),
                 "label",
             )
-            .localCheckpoint(eager=True)
         )
         changed = new_labels.where(
             F.col("new_label") != F.col("label")).limit(1).count()
+        # the superseded round's cached blocks are dead the moment the
+        # new checkpoint is materialized — free them now, not at GC time
+        _unpersist_ids(new_labels, prev_ids)
+        prev_ids = new_ids
         labels = new_labels.select(
             "vertex", F.col("new_label").alias("label"))
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "rounds — the component graph has a longer chain than "
+            "expected (near-dup clusters are normally dense); raise "
+            "max_iter rather than accept silently split components")
     return labels.select("vertex", F.col("label").alias("component"))
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .util import dsum, t
+from .util import t
 
 QUERIES = {}
 ORACLE_SQL = {}

@@ -28,7 +28,7 @@ from __future__ import annotations
 import os
 import re
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -71,15 +71,22 @@ def annotate_lines(
         .join(pred, ["doc_id", "span_id"])
         .where(F.col("pred_lineno") <= F.col("lineno"))
     )
-    w = Window.partitionBy("doc_id", "span_id", "lineno")
+    # max(struct) instead of a max-over-window + equality filter: the
+    # window form KEEPS BOTH rows when predictions carry a duplicate /
+    # tied (doc_id, span_id, lineno) — the left join below would then
+    # duplicate physical lines in the rendered .freki text. The struct
+    # aggregate picks exactly one winner (latest pred_lineno, ties
+    # broken deterministically by name then code) and is map-side
+    # combinable besides.
     latest = (
         applicable
-        .withColumn("_max_pl", F.max("pred_lineno").over(w))
-        .where(F.col("pred_lineno") == F.col("_max_pl"))
+        .groupBy("doc_id", "span_id", "lineno")
+        .agg(F.max(F.struct("pred_lineno", "cand_name", "cand_code"))
+             .alias("_w"))
         .select(
             "doc_id", "span_id", "lineno",
-            F.col("cand_name").alias("pred_lang_name"),
-            F.col("cand_code").alias("pred_lang_code"),
+            F.col("_w.cand_name").alias("pred_lang_name"),
+            F.col("_w.cand_code").alias("pred_lang_code"),
         )
     )
     return lines.join(latest, ["doc_id", "span_id", "lineno"], "left")

@@ -24,7 +24,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..pipeline import canonical_url
-from .incremental import WEB_PAGES_DDL
+from .incremental import WEB_PAGES_DDL, await_drain
 
 
 def stream_dedup_pages(
@@ -39,8 +39,19 @@ def stream_dedup_pages(
     append parquet. Each drain processes only new files (AvailableNow)
     and duplicates are suppressed ACROSS drains via the state store;
     keying on canonical_url (round 4, matching the batch job's exact
-    dedup) means a later micro-batch carrying a different SPELLING of
-    an already-seen page is suppressed too."""
+    dedup KEY) means a later micro-batch carrying a different SPELLING
+    of an already-seen page is suppressed too.
+
+    Kept-row caveat: when several spellings of one page land in the
+    SAME micro-batch, dropDuplicates keeps whichever row a task sees
+    first — unlike the batch job's deterministic min(warc_ts, url)
+    winner. The suppression KEY matches batch semantics; the surviving
+    row is only batch-deterministic across drains (first-arrival drain
+    wins). A Structured-Streaming stateful reduce can't pick the
+    min-struct row in append mode without event-time aggregation, so
+    deployments needing row-level determinism run the batch
+    exact_dedup compaction over the stream's output — the documented
+    10^12-scale path below."""
     stream = (
         spark.readStream.schema(WEB_PAGES_DDL)
         .option("maxFilesPerTrigger", 64)
@@ -61,4 +72,4 @@ def stream_dedup_pages(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    await_drain(q, timeout_sec)

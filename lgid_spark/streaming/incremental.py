@@ -20,6 +20,20 @@ from ..datagen import WEB_PAGES_DDL
 from ..pipeline import quality_pipeline
 
 
+def await_drain(query, timeout_sec: int) -> None:
+    """awaitTermination(timeout) returns False WITHOUT stopping the
+    query or raising — a drain that merely times out would otherwise
+    look complete while still writing in the background (partial reads,
+    and the next drain dies on 'checkpoint already active'). Stop the
+    straggler and raise so callers see the truth."""
+    if not query.awaitTermination(timeout_sec):
+        query.stop()
+        raise TimeoutError(
+            f"streaming drain did not finish within {timeout_sec}s — "
+            "the query was stopped; re-run to resume from the "
+            "checkpoint (raise timeout_sec for large backlogs)")
+
+
 def process_available(
     spark: SparkSession,
     input_dir: str,
@@ -42,4 +56,4 @@ def process_available(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    await_drain(q, timeout_sec)

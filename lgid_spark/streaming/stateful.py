@@ -39,9 +39,17 @@ def _update(
     else:
         ts_ms: list[int] = []
         for pdf in pdfs:
-            ts_ms.extend(
-                (pdf["ts"].astype("int64") // 1_000_000).tolist())
+            # drop NaT BEFORE the int64 cast: pandas silently turns NaT
+            # into the -2^63 ns sentinel, which would fabricate a
+            # year-1677 session start and mis-split the real one
+            ts = pdf["ts"].dropna()
+            ts_ms.extend((ts.astype("int64") // 1_000_000).tolist())
         ts_ms.sort()
+        if not ts_ms:
+            # batch held only null-timestamp rows: nothing to sessionize
+            if state.exists:
+                state.setTimeoutDuration(SESSION_GAP_MS)
+            return
         if state.exists:
             start_ms, last_ms, n = state.get
         else:

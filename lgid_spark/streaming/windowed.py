@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..pipeline import quality_pipeline
-from .incremental import WEB_PAGES_DDL
+from .incremental import WEB_PAGES_DDL, await_drain
 
 
 def windowed_lang_counts(
@@ -74,4 +74,4 @@ def stream_windowed_lang_counts(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    await_drain(q, timeout_sec)

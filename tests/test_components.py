@@ -37,3 +37,26 @@ def test_two_chains_merge_late(spark):
     comp = {r.vertex: r.component for r in connected_components(df).collect()}
     assert set(comp.values()) == {1}  # single component, min id 1
     assert len(comp) == 16
+
+
+def test_unconverged_raises_and_caches_bounded(spark):
+    """A chain longer than max_iter rounds must RAISE, not silently
+    return split components (a dedup stage would then keep several
+    'canonical' docs from one group); and superseded per-round
+    localCheckpoint caches are unpersisted as the loop advances, so
+    the persistent-RDD count stays bounded instead of growing by one
+    frame per round."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=5)
+
+    jsc = spark.sparkContext._jsc
+    before = len({r for r in jsc.getPersistentRDDs().keySet()})
+    comp = connected_components(chain)  # 30-hop chain, ~30 rounds
+    assert {r.component for r in comp.collect()} == {0}
+    after = len({r for r in jsc.getPersistentRDDs().keySet()})
+    # sym + the live labels round survive; dead rounds were freed
+    assert after - before <= 3

@@ -126,3 +126,31 @@ def test_title_case_python_semantics(spark):
     assert got.pred_lang_name == "Ma'Anyan" == "ma'anyan".title()
     raw = annotate_lines(lines, preds, titlecase=False).collect()[0]
     assert raw.pred_lang_name == "ma'anyan"
+
+
+def test_annotate_lines_duplicate_predictions_no_fanout(spark):
+    """A duplicated/tied prediction row (e.g. classify outputs unioned
+    across two runs) must not multiply physical lines through the left
+    join — exactly one deterministic winner per (doc, span, line)."""
+    rows = [
+        ("d", 1, "L", "s1", "quenya", "qya", "t",
+         "line=1 tag=L span_id=s1 ", "h"),
+    ]
+    lines = spark.createDataFrame(
+        rows,
+        "doc_id string, lineno int, tag string, span_id string, "
+        "lang_name string, lang_code string, text string, "
+        "raw_head string, block_header string",
+    )
+    preds = spark.createDataFrame(
+        [("d", "s1", 1, "quenya", "qya"),
+         ("d", "s1", 1, "quenya", "qya"),   # exact duplicate
+         ("d", "s1", 1, "sindarin", "sjn")],  # tie on lineno
+        "doc_id string, span_id string, lineno int, "
+        "lang_name string, lang_code string",
+    )
+    out = annotate_lines(lines, preds).collect()
+    assert len(out) == 1  # no fan-out
+    # deterministic tie-break: max (lineno, name, code) → sindarin
+    assert (out[0].pred_lang_name, out[0].pred_lang_code) == (
+        "Sindarin", "sjn")

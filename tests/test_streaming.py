@@ -54,3 +54,32 @@ def test_streaming_output_equals_batch(spark, tmp_path):
             for r in df.collect())
 
     assert canon(streamed) == canon(batch)
+
+
+def test_await_drain_timeout_raises_and_stops():
+    """awaitTermination(timeout) returning False means the drain is
+    STILL RUNNING — await_drain must stop it and raise instead of
+    returning as if complete."""
+    import pytest
+
+    from lgid_spark.streaming.incremental import await_drain
+
+    class FakeQuery:
+        def __init__(self, done):
+            self.done = done
+            self.stopped = False
+
+        def awaitTermination(self, timeout):
+            return self.done
+
+        def stop(self):
+            self.stopped = True
+
+    ok = FakeQuery(True)
+    await_drain(ok, 1)
+    assert not ok.stopped
+
+    slow = FakeQuery(False)
+    with pytest.raises(TimeoutError):
+        await_drain(slow, 1)
+    assert slow.stopped
