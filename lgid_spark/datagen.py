@@ -188,6 +188,11 @@ def _spark_pages(spark, n: int, rows_for):
     the table never exists in one place. At 10^12 rows you'd bump
     numPartitions; generation stays embarrassingly parallel.
     """
+    # pin UTC like queries/util.t: gen() yields tz-naive UTC wall-time
+    # datetimes, and a driver session running in another timezone would
+    # otherwise shift every warc_ts micros on conversion — breaking the
+    # byte-identical determinism contract vs pandas_web_pages
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -215,6 +220,15 @@ def spark_web_pages_with_dups(spark, n: int, every: int = DUP_EVERY):
     twin (dup_row) for every ``every``-th page — n + n//every rows in
     which two spellings of one page must collapse to the original
     under canonical-url dedup."""
-    return _spark_pages(
-        spark, n,
-        lambda i: [row(i)] + ([dup_row(i)] if i % every == 0 else []))
+    def rows_for(i: int) -> list[dict]:
+        base = row(i)
+        if i % every != 0:
+            return [base]
+        # derive the twin from the already-generated base instead of
+        # calling dup_row(i) (which regenerates text/html from scratch
+        # — dozens of md5 calls paid twice per duplicated page)
+        twin = dict(base, url=messy_url_for(i),
+                    warc_ts=base["warc_ts"] + _dt.timedelta(seconds=3600))
+        return [base, twin]
+
+    return _spark_pages(spark, n, rows_for)

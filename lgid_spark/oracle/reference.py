@@ -295,7 +295,15 @@ def scrub_text(text: str) -> str:
     if not is_ascii or any(d in text for d in _DIGITS):
         text = SSN_RE.sub("<SSN>", text)
         text = PHONE_RE.sub("<PHONE>", text)
-    if not is_ascii or any(w in text.lower() for w in _TOXIC_WORDS_LOWER):
+    if is_ascii:
+        # hoist the lowercase copy OUT of the any() — a generator
+        # re-evaluates text.lower() per lexicon word, allocating
+        # len(lexicon) full copies of the document on the common
+        # no-match path
+        lowered = text.lower()
+        if any(w in lowered for w in _TOXIC_WORDS_LOWER):
+            text = TOXIC_RE.sub("<TOX>", text)
+    else:
         text = TOXIC_RE.sub("<TOX>", text)
     return text
 

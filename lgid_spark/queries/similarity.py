@@ -110,24 +110,9 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
-    pairs = emb.crossJoin(F.broadcast(cents))
-    # L2 distance squared, deterministic fold
-    dist = F.aggregate(
-        F.sequence(F.lit(1), F.lit(DIM)),
-        F.lit(0.0),
-        lambda acc, i: acc
-        + (
-            F.element_at(F.col("embedding"), i).cast("double")
-            - F.element_at(F.col("cvec"), i).cast("double")
-        )
-        ** 2,
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
-    assigned = (
-        pairs.withColumn("d2", F.round(dist, 6))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-    )
+    # shared rank helper (one copy of the fold + tie-break, so the
+    # Spark query can't drift from ivf_topk's assignment semantics)
+    assigned = _assignments(emb, cents).filter(F.col("rk") == 1)
     return assigned.groupBy("centroid_id").agg(
         F.count("*").alias("n_assigned"),
         F.round(F.avg("d2"), 4).alias("mean_d2"),
@@ -228,11 +213,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_D2P_SQL = (
-    f"list_sum(list_transform(generate_series(1, {DIM}), "
-    "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)) "
-    "* (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))))"
-)
+_D2P_SQL = _D2_SQL  # one L2 template — edits can't desynchronize
 
 ORACLE_SQL["ivf_topk"] = f"""
 WITH cents AS (
@@ -273,25 +254,46 @@ SELECT probe_id, rk, neighbor_id, cos_sim FROM (
 N_PLANES = 8
 
 
-def _plane_sign_spark(k: int, i):
-    # deterministic ±1 from md5 of "plane|k|i": low bit of first hex char
-    h = F.conv(F.substring(F.md5(F.concat_ws("|", F.lit("plane"), F.lit(k), i.cast("string"))), 1, 1), 16, 10).cast("int")
-    return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+def _plane_sign(k: int, i: int) -> float:
+    # deterministic ±1 from md5 of "plane|k|i": low bit of first hex
+    # char — computed DRIVER-SIDE (hashlib), since it depends only on
+    # (k, i): evaluating 8×64 md5 calls per ROW, as the first version
+    # did, paid ~256M hash evaluations per 500k rows for compile-time
+    # constants. The DuckDB oracle keeps the per-element md5 derivation,
+    # cross-checking that this literal matrix matches it bitwise.
+    import hashlib
+
+    h = hashlib.md5(f"plane|{k}|{i}".encode()).hexdigest()[0]
+    return 1.0 if int(h, 16) & 1 else -1.0
 
 
 @_q("rp_lsh_buckets")
 def rp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    def _proj(k: int):
-        def merge(acc, i):
-            return acc + F.element_at(F.col("embedding"), i).cast("double") * _plane_sign_spark(k, i)
-        return F.aggregate(F.sequence(F.lit(1), F.lit(DIM)), F.lit(0.0), merge)
-
-    sig = None
-    for k in range(N_PLANES):
-        proj = _proj(k)
-        bit = F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
+    # one nested fold over an array<array<double>> sign literal instead
+    # of N_PLANES separate folds: same float-op order per plane (the
+    # inner fold is unchanged → bitwise-identical projections), but a
+    # far smaller expression tree — the 8-separate-folds shape put
+    # analysis+codegen time above execution time (round-3 lesson)
+    signs = F.array(*[
+        F.array(*[F.lit(_plane_sign(k, i)) for i in range(1, DIM + 1)])
+        for k in range(N_PLANES)
+    ])
+    weights = F.array(*[F.lit(1 << k) for k in range(N_PLANES)])
+    sig = F.aggregate(
+        F.sequence(F.lit(1), F.lit(N_PLANES)),
+        F.lit(0),
+        lambda acc, k: acc + F.when(
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(DIM)),
+                F.lit(0.0),
+                lambda a, i: a
+                + F.element_at(F.col("embedding"), i).cast("double")
+                * F.element_at(F.element_at(signs, k), i),
+            ) > 0,
+            F.element_at(weights, k),
+        ).otherwise(F.lit(0)),
+    )
     return (
         emb.withColumn("bucket", sig.cast("int"))
         .groupBy("bucket")

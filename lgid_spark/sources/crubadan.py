@@ -73,32 +73,60 @@ def read_crubadan_lm(
     rows = index.select("code", "directory").distinct()
     if codes is not None:
         rows = rows.where(F.col("code").isin(codes))
-    # the index is tiny: resolve file paths driver-side, parse distributed
+    # the index is tiny: resolve file paths driver-side, parse
+    # distributed; ragged/empty directory fields are skipped like the
+    # reference's except-and-continue (util.py:157-162), not crashed on
     tasks = [
         (r["code"], gram_type,
          gram_file_path(base_dir, r["directory"], suffix))
-        for r in rows.collect()
+        for r in rows.collect() if r["directory"]
         for gram_type, suffix in GRAM_FILES.items()
     ]
     task_df = spark.createDataFrame(tasks, "lang_code string, gram_type string, path string")
 
     def parse(batches: Iterator) -> Iterator:
         import pandas as pd
+        from pyarrow import fs as pafs
+
+        def fs_for(path: str):
+            # executor-side filesystem resolution: os.path/open only
+            # work for POSIX paths mounted on every worker, and
+            # os.path.exists is ALWAYS False for hdfs://s3a:// URIs —
+            # pyarrow.fs speaks those schemes from plain Python workers
+            if "://" in path:
+                return pafs.FileSystem.from_uri(path)
+            return pafs.LocalFileSystem(), path
 
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                if not os.path.exists(r.path):
+                filesystem, p = fs_for(r.path)
+                if (filesystem.get_file_info(p).type
+                        == pafs.FileType.NotFound):
                     continue  # missing gram file ⇒ skip (util.py:149-153)
-                with open(r.path, encoding="utf-8") as fh:
-                    for line in fh:
-                        parts = line.rstrip("\n").split("\t")
-                        if len(parts) == 2 and parts[0]:
-                            try:
-                                out.append((r.lang_code, r.gram_type,
-                                            parts[0], int(parts[1])))
-                            except ValueError:
-                                continue
+                with filesystem.open_input_stream(p) as fh:
+                    data = fh.read().decode("utf-8")
+                for line in data.splitlines():
+                    # tab-separated rows keep the gram BYTE-EXACT (a
+                    # padded char trigram like ' zi' has a meaningful
+                    # leading space); space-separated rows — the form
+                    # real Crúbadán archives use — get the reference's
+                    # any-whitespace parse (util.py:169: count = last
+                    # token, gram = the rest). A tab-only split would
+                    # silently drop every row of a space-separated file.
+                    if "\t" in line:
+                        gram, _, cnt = line.rstrip("\n").rpartition("\t")
+                    else:
+                        parts = line.split()
+                        if len(parts) < 2:
+                            continue
+                        gram, cnt = " ".join(parts[:-1]), parts[-1]
+                    if gram:
+                        try:
+                            out.append((r.lang_code, r.gram_type,
+                                        gram, int(cnt)))
+                        except ValueError:
+                            continue
             yield pd.DataFrame(out, columns=LM_SCHEMA.fieldNames())
 
     return task_df.repartition(max(1, len(tasks))).mapInPandas(

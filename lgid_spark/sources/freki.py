@@ -103,7 +103,11 @@ def parse_freki(content: str) -> list[tuple]:
             try:
                 lineno = int(attrs.get("line", "0"))
             except ValueError:
-                continue
+                # a non-plain-int line= value (e.g. 'line=20-21' merged
+                # lines) must NOT drop the row — the raw_head/ordinal
+                # fields exist to guarantee verbatim replay, so keep the
+                # text with lineno NULL; the sink orders by ordinal
+                lineno = None
             rows.append((
                 doc_id, page, block_id, label, lineno,
                 attrs.get("tag", "O"),

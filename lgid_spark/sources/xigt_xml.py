@@ -87,7 +87,7 @@ def l_lines(lines: DataFrame) -> DataFrame:
     """The reference's L-line filter (buildlms.py:85)."""
     from pyspark.sql import functions as F
 
-    return lines.filter(F.col("tag").rlike(r"^L(\+(CR|AL|DB|SEG))*$"))
+    return lines.filter(F.col("tag").rlike(L_TAG_RE.pattern))
 
 
 def synthetic_xigt_xml(doc_id: str, n_igts: int = 3) -> str:

@@ -67,3 +67,35 @@ def test_functions_facade():
     )
 
     assert normalize_name("Mérenglo (East)") == "merenglo"
+
+
+def test_space_separated_files_and_ragged_index(spark, tmp_path):
+    """Real Crúbadán archives are SPACE-separated (`na 2789`) — the
+    reference parses any whitespace with count = last token, gram = the
+    rest (a word bigram keeps its internal space). A ragged index row
+    with no directory field is skipped like the reference, not crashed
+    on; and tab rows still preserve space-padded grams byte-exactly."""
+    base = str(tmp_path / "cru")
+    d = os.path.join(base, "xx_ccc")
+    os.makedirs(d)
+    with open(os.path.join(d, "ccc-words.txt"), "w") as fh:
+        fh.write("na 2789\nfoo   12\n")          # space runs
+    with open(os.path.join(d, "ccc-wordbigrams.txt"), "w") as fh:
+        fh.write("is mise 41\n")                 # gram has a space
+    with open(os.path.join(d, "ccc-chartrigrams.txt"), "w") as fh:
+        fh.write(" na\t7\n")                     # tab keeps the pad
+    index_path = os.path.join(base, "idx.csv")
+    with open(index_path, "w") as fh:
+        fh.write("language_name,iso_code,crubadan_directory\n"
+                 "ccc-name,ccc,xx_ccc\n"
+                 "ragged-row,zzz\n")             # no directory field
+
+    lm = read_crubadan_lm(
+        spark, read_dir_index(spark, index_path), base)
+    rows = {(r.gram_type, r.ngram): r["count"] for r in lm.collect()}
+    assert rows == {
+        ("word", "na"): 2789,
+        ("word", "foo"): 12,
+        ("wordbigram", "is mise"): 41,
+        ("char", " na"): 7,
+    }

@@ -82,3 +82,26 @@ def test_gold_single_longest_exact():
             if len(p) >= 6:
                 gold.add((int(p[0]), int(p[1]), int(p[2]), int(p[3]), p[4], p[5]))
     assert ours == gold and len(gold) == 29
+
+
+def test_freki_merged_line_value_is_preserved(spark, tmp_path):
+    """A non-plain-int line= attribute (merged lines, 'line=20-21')
+    must keep the row (lineno NULL, raw_head verbatim) — dropping it
+    would silently lose text from a parser whose raw_head/ordinal
+    fields promise byte-exact replay."""
+    from lgid_spark.sinks.freki_sink import freki_doc_text
+    from lgid_spark.sources.freki import read_freki
+
+    doc = (
+        "doc_id=d1 page=1 block_id=b1 label=B line_range=20-22\n"
+        "line=20 tag=O :plain text\n"
+        "line=21-22 tag=O :merged line text\n"
+    )
+    p = tmp_path / "m.freki"
+    p.write_text(doc)
+    lines = read_freki(spark, str(p))
+    got = {r.text: r.lineno for r in lines.collect()}
+    assert got == {"plain text": 20, "merged line text": None}
+    # byte-exact replay through the sink
+    out = freki_doc_text(lines).collect()
+    assert out[0].freki_text == doc.rstrip("\n")
