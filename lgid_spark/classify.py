@@ -129,11 +129,37 @@ def _lm_flag_entries(families: list[str]) -> list[tuple[str, F.Column]]:
     return entries
 
 
+# derived features the reference emits INSIDE another feature's gate:
+# (predicate on the derived name, the governing config key). Without
+# these, disabling the base feature leaves its nested derivations on —
+# a feature set the reference ablation cannot produce.
+_PARENT_GATES: tuple = (
+    # features.py:101-113: the adaptive W=500 variants run inside
+    # `if config['W-frequent(-after)'] == 'yes'`
+    (lambda f: f.startswith("W=500&") and f.endswith("-frequent-after"),
+     "W-frequent-after"),
+    (lambda f: f.startswith("W=500&") and f.endswith("-frequent"),
+     "W-frequent"),
+    # features.py:385-387: GL-C-name<i is emitted inside the
+    # GL-short-lang-name block
+    (lambda f: f.startswith("GL-C-name<"), "GL-short-lang-name"),
+    # features.py:49-50,368: most_frequent_code (and the
+    # GL-multi-word-name it contains) only runs under
+    # GL-most-frequent-code
+    (lambda f: f == "GL-multi-word-name", "GL-most-frequent-code"),
+)
+
+
 def _feature_enabled(fname: str, config: dict[str, bool]) -> bool:
     """config.ini-[features]-style gate: a feature is governed by the
     LONGEST config key that equals it or is a base-prefix of it (the
     next char being a derivation separator &, >, < — so "W-close"
-    does NOT govern "W-closest"). Unmentioned names stay enabled."""
+    does NOT govern "W-closest"). Unmentioned names stay enabled.
+    Nested derivations (see _PARENT_GATES) additionally require their
+    parent feature's gate."""
+    for pred, parent in _PARENT_GATES:
+        if pred(fname) and not config.get(parent, True):
+            return False
     best_key = None
     for key in config:
         if fname == key or (
@@ -188,8 +214,12 @@ def build_instances(
     # drop zero-line-block placeholder rows (sources/freki.py keeps them
     # for the byte-stable sink; they are not lines)
     lines = lines.where(F.col("lineno").isNotNull())
+    mention_cols = ["doc_id", "lineno", "text"] + (
+        # block_id gates the two-line splice (the reference never pairs
+        # lines across Freki blocks — operators/mentions.py)
+        ["block_id"] if "block_id" in lines.columns else [])
     mentions = extract_mentions(
-        spark, lines.select("doc_id", "lineno", "text"), lang_table
+        spark, lines.select(*mention_cols), lang_table
     ).persist()  # feeds ~14 feature branches; tiny vs lines
     spans = span_bounds(lines)
     bounds = doc_bounds(lines)
@@ -360,7 +390,18 @@ def build_instances(
         ).alias("label"),
         feats_map.alias("feats"),
     )
+    # expose the internal cache so callers can release it — without a
+    # handle the mentions cache outlived every call for the app's
+    # lifetime (release_instance_caches below)
+    out._lgid_caches = [mentions]
     return out
+
+
+def release_instance_caches(inst: DataFrame) -> None:
+    """Unpersist the caches build_instances created for `inst` (no-op
+    for frames without any)."""
+    for c in getattr(inst, "_lgid_caches", ()):
+        c.unpersist()
 
 
 def strict_cross_validate(
@@ -395,9 +436,8 @@ def strict_cross_validate(
     feature_kwargs = dict(feature_kwargs)
     feature_kwargs.pop("odin_lm", None)
     lines = lines.where(F.col("lineno").isNotNull()).persist()
-    base = build_instances(
-        spark, lines, lang_table, **feature_kwargs
-    ).withColumn(
+    raw_inst = build_instances(spark, lines, lang_table, **feature_kwargs)
+    base = raw_inst.withColumn(
         "_fold", F.pmod(F.xxhash64("doc_id"), F.lit(k)).cast("int")
     ).persist()
     base.count()
@@ -453,8 +493,13 @@ def strict_cross_validate(
                 # (already config-filtered) base features alone.
                 # base is already persisted; don't re-persist/unpersist.
                 inst = base
-            model = train(inst.where(F.col("_fold") != fold),
-                          num_features=num_features)
+            train_df = inst.where(F.col("_fold") != fold)
+            if train_df.limit(1).count() == 0:
+                # single-fold corpus: empty train frame would crash fit
+                if inst is not base:
+                    inst.unpersist()
+                continue
+            model = train(train_df, num_features=num_features)
             best = best_candidates(score(
                 inst.where(F.col("_fold") == fold), model, num_features))
             agg = best.agg(
@@ -473,6 +518,7 @@ def strict_cross_validate(
         base.unpersist()
         gold_l_all.unpersist()
         lines.unpersist()
+        release_instance_caches(raw_inst)
     return results
 
 
@@ -537,6 +583,7 @@ def classify_documents(
     finally:
         inst.unpersist()
         lines.unpersist()
+        release_instance_caches(inst)
 
 
 def write_labelled_lines(

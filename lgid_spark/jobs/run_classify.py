@@ -223,13 +223,19 @@ def main(argv: list[str] | None = None) -> int:
         "output": args.output,
     }
     if args.cv:
-        from lgid_spark.classify import build_instances
+        from lgid_spark.classify import (
+            build_instances,
+            release_instance_caches,
+        )
         from lgid_spark.operators.classifier import cross_validate
 
         inst = build_instances(spark, lines, table, **feature_kwargs)
         cv_kw = {} if num_features is None else {
             "num_features": num_features}
-        summary["cv"] = cross_validate(inst, k=args.cv, **cv_kw)
+        try:
+            summary["cv"] = cross_validate(inst, k=args.cv, **cv_kw)
+        finally:
+            release_instance_caches(inst)
     if args.strict_cv:
         from lgid_spark.classify import strict_cross_validate
 

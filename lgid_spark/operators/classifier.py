@@ -329,6 +329,10 @@ def cross_validate(instances: DataFrame, k: int = 5,
             test_df = folded.where(F.col("fold") == fold)
             if test_df.limit(1).count() == 0:
                 continue
+            if train_df.limit(1).count() == 0:
+                # every doc hashed into this one fold (tiny corpus):
+                # LR.fit on an empty frame throws — skip, don't die
+                continue
             model = train(train_df, num_features=num_features)
             best = best_candidates(score(test_df, model, num_features))
             agg = best.agg(

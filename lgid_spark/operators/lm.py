@@ -187,7 +187,12 @@ def lm_line_match_ratios(
     fanned = grams.join(cand_codes, "doc_id")
     hits = (
         fanned.join(
-            lm.select(*lm_cols),
+            # MEMBERSHIP join: dropDuplicates so an LM carrying several
+            # rows per (key, gram_type, ngram) — e.g. two language
+            # names sharing one ISO code in code-only mode — can't
+            # multiply hits (n_hit would exceed n_total and every
+            # threshold flag would fire spuriously)
+            lm.select(*lm_cols).dropDuplicates(),
             cand_keys + ["gram_type", "ngram"], "inner")
         .groupBy(*keys, *cand_keys, "family")
         .agg(F.count("*").alias("n_hit"))
@@ -211,20 +216,27 @@ def lm_match_ratio(df: DataFrame, lm: DataFrame, text_col: str, lang_col: str,
         "_rid",
         F.explode(char_ngrams_col(F.col(text_col), char_n)).alias("ngram"),
     )
-    totals = grams.groupBy("_rid", "lang_code").agg(
-        F.count("*").alias("n_total"))
-    hits = (
-        grams.join(
-            lm.filter(F.col("gram_type") == "char").select("lang_code", "ngram"),
-            ["lang_code", "ngram"], "left_semi")
-        .groupBy("_rid", "lang_code")
-        .agg(F.count("*").alias("n_hit"))
+    # ONE pass over grams: a left join against the deduped LM marks
+    # each gram, and a single aggregate computes total and hits
+    # together. The previous totals⋈hits shape evaluated the uncached
+    # grams subtree TWICE, and monotonically_increasing_id values are
+    # only stable if both evaluations see identical partitioning — a
+    # silent wrong-pairing hazard on shuffled inputs. Single lineage
+    # removes it; dropDuplicates keeps the join a membership test.
+    lm_set = (
+        lm.filter(F.col("gram_type") == "char")
+        .select("lang_code", "ngram").dropDuplicates()
+        .withColumn("_in_lm", F.lit(1))
     )
     return (
-        totals.join(hits, ["_rid", "lang_code"], "left")
+        grams.join(lm_set, ["lang_code", "ngram"], "left")
+        .groupBy("_rid", "lang_code")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.coalesce(F.col("_in_lm"), F.lit(0))).alias("n_hit"),
+        )
         .select(
             "lang_code",
-            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_total")
-             ).alias("match_ratio"),
+            (F.col("n_hit") / F.col("n_total")).alias("match_ratio"),
         )
     )

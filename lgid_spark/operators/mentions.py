@@ -58,9 +58,6 @@ class Mention(NamedTuple):
 _TOKEN_RE = re.compile(r"[^\s]+")
 _PARENS_RE = re.compile(r"\([^)]*\)")
 _WS_RE = re.compile(r"\s+")
-_STRIP_PUNCT = re.compile(r"^[^\w'ǂ!/=-]+|[^\w'ǂ!/=-]+$", re.UNICODE)
-
-
 def normalize_name(name: str) -> str:
     """util.py:36-52 semantics: NFKD → drop combining marks, drop
     parentheticals, collapse whitespace, lowercase."""
@@ -71,25 +68,30 @@ def normalize_name(name: str) -> str:
     return s.lower()
 
 
+_CORE_RE = re.compile(r"(['ǂ!/=]*\w+([-'/]+\w+)*)", re.UNICODE)
+
+
 def _norm_token(tok: str) -> str:
+    """Reference punc_strip_re capture (analyzers.py:77): optional
+    leading click/glottal markers, then word chars joined by interior
+    -'/ runs. Unlike a symmetric edge-strip, a dash at the EDGE is
+    punctuation ('Even-' → 'even', '-Ngiyambaa' → 'ngiyambaa') while an
+    interior dash is part of the name ('kabi-ye' stays)."""
     s = unicodedata.normalize("NFKD", tok)
     s = "".join(c for c in s if not unicodedata.combining(c))
-    return _STRIP_PUNCT.sub("", s).lower()
-
-
-_LEAD_PUNCT = re.compile(r"^[^\w'ǂ!/=-]+", re.UNICODE)
-_TRAIL_PUNCT = re.compile(r"[^\w'ǂ!/=-]+$", re.UNICODE)
+    m = _CORE_RE.search(s)
+    return m.group(1).lower() if m else ""
 
 
 def _core_span(tok: str, start: int) -> tuple[int, int]:
-    """Char span of the token's core (edge punctuation excluded) so
-    mention columns point at the name itself, matching the reference's
-    golden column convention (test/mentions_gold_output.txt)."""
-    lead = _LEAD_PUNCT.match(tok)
-    lo = lead.end() if lead else 0
-    trail = _TRAIL_PUNCT.search(tok, lo)
-    hi = trail.start() if trail else len(tok)
-    return start + lo, start + hi
+    """Char span of the token's core (same capture as _norm_token, on
+    the raw token) so mention columns point at the name itself,
+    matching the reference's golden column convention
+    (test/mentions_gold_output.txt)."""
+    m = _CORE_RE.search(tok)
+    if not m:
+        return start, start + len(tok)
+    return start + m.start(1), start + m.end(1)
 
 
 class NameTable:
@@ -111,13 +113,28 @@ class NameTable:
                 merged.setdefault(norm, set()).update(codes)
         self.by_first: dict[str, list[tuple[tuple[str, ...], str, tuple[str, ...]]]] = {}
         self.max_words = 1
+        # word-level vocabulary (the reference's word_to_int keys):
+        # membership drives the dash fallback and the single-mention
+        # section grouping
+        self.vocab: set[str] = set()
         for norm in sorted(merged):
             toks = tuple(norm.split(" "))
             if not toks or not toks[0]:
                 continue
             self.max_words = max(self.max_words, len(toks))
+            self.vocab.update(toks)
             self.by_first.setdefault(toks[0], []).append(
                 (toks, norm, tuple(sorted(merged[norm]))))
+
+    def canon(self, form: str) -> str:
+        """Reference analyzers.py:102-117 word mapping: the word itself
+        if in vocabulary, else — for dashed words — the dash-removed
+        form if THAT is in vocabulary ('kabi-ye' matches name 'kabiye').
+        Unknown words pass through (they can never match anyway)."""
+        if form in self.vocab or "-" not in form:
+            return form
+        alt = form.replace("-", "")
+        return alt if alt in self.vocab else form
 
 
 def _is_title(raw: str) -> bool:
@@ -140,37 +157,48 @@ def _line_tokens(line: str) -> list[tuple[str, int, int, bool]]:
 
 
 def find_mentions(
-    lines: list[tuple[int, str]],
+    lines: list[tuple],
     table: NameTable,
     single_longest: bool = False,
     capitalization: str = "any",
 ) -> list[Mention]:
-    """Pure-function mention extraction over (lineno, text) lines.
-    Shared verbatim by the oracle and the Spark UDF."""
+    """Pure-function mention extraction over (lineno, text[, block_id])
+    lines. Shared verbatim by the oracle and the Spark UDF. When block
+    ids are present, the two-line splice only pairs lines of the SAME
+    block — the reference iterates `for line1 in block.lines`
+    (analyzers.py:80) and never pairs across blocks."""
     mentions: list[Mention] = []
     n = len(lines)
     for idx in range(n):
-        lineno, text = lines[idx]
+        lineno, text = lines[idx][0], lines[idx][1]
         # token = (norm, startcol, endcol, startline, endline, is_title)
-        toks = [(t, s, e, lineno, lineno, ti)
+        toks = [(table.canon(t), s, e, lineno, lineno, ti)
                 for t, s, e, ti in _line_tokens(text)]
         # two-line splice (analyzers.py:82-98): append next line's tokens,
-        # healing a trailing dash by merging the boundary tokens
+        # healing a break dash by merging the boundary tokens
         boundary = len(toks)
-        alt_forms: dict[int, str] = {}
-        if idx + 1 < n and lines[idx + 1][0] == lineno + 1:
+        same_block = (
+            idx + 1 < n
+            and lines[idx + 1][0] == lineno + 1
+            and (len(lines[idx]) < 3 or len(lines[idx + 1]) < 3
+                 or lines[idx][2] == lines[idx + 1][2])
+        )
+        if same_block:
             nl = lines[idx + 1][0]
-            ntoks = [(t, s, e, nl, nl, ti)
-                     for t, s, e, ti in _line_tokens(lines[idx + 1][1])]
-            if text.rstrip().endswith("-") and toks and ntoks:
+            ntext = lines[idx + 1][1]
+            ntoks = [(table.canon(t), s, e, nl, nl, ti)
+                     for t, s, e, ti in _line_tokens(ntext)]
+            # dash healing fires in EITHER direction (analyzers.py:88):
+            # line1 ending with '-' OR line2 starting with '-' fuses the
+            # boundary tokens into one word with the break dash inside
+            # ("Méren-/glo" → méren-glo; "Wangaaybuwan/-Ngiyambaa" →
+            # wangaaybuwan-ngiyambaa); canon() then supplies the
+            # dash-removed fallback exactly like any other dashed word
+            if (text.rstrip().endswith("-")
+                    or ntext.lstrip().startswith("-")) and toks and ntoks:
                 lt, ls, _le, lsl, _lel, lti = toks[-1]
                 nt, _ns, ne, _nsl, nel, _nti = ntoks[0]
-                # the line-break hyphen may be spurious ("Méren-/glo" →
-                # merenglo) or part of the name ("Wangaaybuwan-/Ngiyambaa"
-                # → wangaaybuwan-ngiyambaa): keep the hyphen as the
-                # primary form and try the dash-stripped one as an alt
-                merged = (lt + nt, ls, ne, lsl, nel, lti)
-                alt_forms[len(toks) - 1] = lt.rstrip("-") + nt
+                merged = (table.canon(lt + "-" + nt), ls, ne, lsl, nel, lti)
                 toks = toks[:-1] + [merged]
                 boundary = len(toks)  # merged token is line-1-anchored
                 ntoks = ntoks[1:]
@@ -180,42 +208,47 @@ def find_mentions(
         for i in range(len(toks)):
             if i >= boundary:
                 break  # matches wholly in line 2 counted there (272-273)
-            forms = [toks[i][0]]
-            if i in alt_forms:
-                forms.append(alt_forms[i])
+            form = toks[i][0]
+            cands = table.by_first.get(form)
+            if not cands:
+                continue
             seen_here: set[str] = set()
-            for form in forms:
-                cands = table.by_first.get(form)
-                if not cands:
+            for cand_toks, norm, codes in cands:
+                j = i + len(cand_toks)
+                if j > len(toks) or norm in seen_here:
                     continue
-                for cand_toks, norm, codes in cands:
-                    j = i + len(cand_toks)
-                    if j > len(toks) or norm in seen_here:
-                        continue
-                    run = (form,) + tuple(t[0] for t in toks[i + 1:j])
-                    if run != cand_toks:
-                        continue
-                    if capitalization == "title" and not all(
-                            toks[k][5] for k in range(i, j)):
-                        continue  # P6: every word must be title-cased
-                    found.append((i, j, norm, codes))
-                    seen_here.add(norm)
+                run = (form,) + tuple(t[0] for t in toks[i + 1:j])
+                if run != cand_toks:
+                    continue
+                if capitalization == "title" and not all(
+                        toks[k][5] for k in range(i, j)):
+                    continue  # P6: every word must be title-cased
+                found.append((i, j, norm, codes))
+                seen_here.add(norm)
 
         if single_longest:
-            # analyzers.py:174-186: keep only the longest match (by word
-            # count) per ADJACENT word group — matches whose token ranges
-            # touch or overlap chain into one group ("Norwegian Finnish"
-            # is one group; only one survives). Ties are unspecified
+            # analyzers.py:136-186: one candidate SECTION per maximal
+            # run of consecutive in-vocabulary words (the language_
+            # strings split on 'N'); only the longest match per section
+            # survives — even when two matches in the section don't
+            # touch ("Even good day" with 'good' in the vocabulary is
+            # ONE section; only 'even' survives). Ties are unspecified
             # upstream (test/README.md:13-18); we pin (start, name).
+            run_id = []
+            rid = -1
+            prev_in = False
+            for tk in toks:
+                in_vocab = tk[0] in table.vocab
+                if in_vocab and not prev_in:
+                    rid += 1
+                run_id.append(rid if in_vocab else None)
+                prev_in = in_vocab
             found.sort()
-            groups: list[list[tuple[int, int, str, tuple[str, ...]]]] = []
+            groups: dict[int, list] = {}
             for f in found:
-                if groups and f[0] <= max(g[1] for g in groups[-1]):
-                    groups[-1].append(f)
-                else:
-                    groups.append([f])
+                groups.setdefault(run_id[f[0]], []).append(f)
             chosen = []
-            for g in groups:
+            for g in groups.values():
                 g.sort(key=lambda f: (-(f[1] - f[0]), f[0], f[2]))
                 chosen.append(g[0])
             found = sorted(chosen)
@@ -266,12 +299,19 @@ def extract_mentions(
     table = NameTable(lang_table)
     bc = spark.sparkContext.broadcast(table)
 
+    has_block = "block_id" in lines_df.columns
     w = Window.partitionBy("doc_id").orderBy("lineno")
-    paired = lines_df.select(
+    cols = [
         "doc_id", "lineno", "text",
         F.lead("lineno").over(w).alias("next_lineno"),
         F.lead("text").over(w).alias("next_text"),
-    )
+    ]
+    if has_block:
+        # the splice must not pair lines across Freki blocks — the
+        # reference walks `block.lines` (analyzers.py:80)
+        cols += ["block_id",
+                 F.lead("block_id").over(w).alias("next_block_id")]
+    paired = lines_df.select(*cols)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -280,9 +320,13 @@ def extract_mentions(
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                lines = [(int(r.lineno), r.text or "")]
+                blk = getattr(r, "block_id", None)
+                lines = [(int(r.lineno), r.text or "", blk)]
                 if r.next_lineno is not None and not pd.isna(r.next_lineno):
-                    lines.append((int(r.next_lineno), r.next_text or ""))
+                    lines.append((int(r.next_lineno), r.next_text or "",
+                                  getattr(r, "next_block_id", None)))
+                if not has_block:
+                    lines = [ln[:2] for ln in lines]
                 for m in find_mentions(lines, t, single_longest, capitalization):
                     if m.startline != int(r.lineno):
                         continue  # emitted by the row anchored there

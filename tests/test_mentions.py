@@ -117,3 +117,57 @@ def test_title_case_mode():
     assert sorted({m.name for m in multi}) == [
         "north tokri", "tokri", "upper north tokri"]
     assert len([m for m in multi if m.name == "tokri"]) == 7  # only cap'd
+
+
+def test_dashed_word_vocabulary_fallback():
+    """analyzers.py:105-117: a dashed word retries the lookup with
+    dashes removed ('Kabi-ye' ↔ table name 'kabiye'), and edge dashes
+    are punctuation ('Quenya-' still matches; '-Quenya' too)."""
+    t = NameTable({"kabiye": ["kbp"], "quenya": ["qya"]})
+    ms = find_mentions([(1, "the Kabi-ye language")], t)
+    assert [(m.name, m.code) for m in ms] == [("kabiye", "kbp")]
+    # span covers the dashed surface form
+    assert (ms[0].startcol, ms[0].endcol) == (4, 11)
+    assert [m.name for m in find_mentions([(1, "the Quenya- word")], t)] \
+        == ["quenya"]
+    assert [m.name for m in find_mentions([(1, "a -Quenya word")], t)] \
+        == ["quenya"]
+
+
+def test_leading_dash_heals_line_break():
+    """analyzers.py:88: healing fires when line2 STARTS with '-', not
+    only when line1 ends with one."""
+    t = NameTable({"wangaaybuwan-ngiyambaa": ["wyb"]})
+    ms = find_mentions(
+        [(5, "spoken Wangaaybuwan"), (6, "-Ngiyambaa data")], t)
+    assert [(m.name, m.startline, m.endline) for m in ms] == [
+        ("wangaaybuwan-ngiyambaa", 5, 6)]
+    # and the dash-removed fallback composes with healing
+    t2 = NameTable({"mérenglo": ["mrg"]})
+    ms2 = find_mentions([(5, "the Méren"), (6, "-glo family")], t2)
+    assert [m.name for m in ms2] == ["merenglo"]
+
+
+def test_splice_respects_block_boundaries():
+    """The reference pairs lines within one Freki block only
+    (analyzers.py:80) — a dash at a block boundary must not heal."""
+    t = NameTable({"mérenglo": ["mrg"]})
+    same = find_mentions([(5, "the Méren-", "b1"), (6, "glo family", "b1")], t)
+    assert [m.name for m in same] == ["merenglo"]
+    split = find_mentions(
+        [(5, "the Méren-", "b1"), (6, "glo family", "b2")], t)
+    assert split == []
+
+
+def test_single_longest_vocab_run_sections():
+    """analyzers.py:136-186: the section is a maximal run of in-vocab
+    words — two matches separated by an unmatched VOCAB word share one
+    section (one survivor), while a non-vocab separator splits them."""
+    t = NameTable({"even": ["eve"], "day": ["day"], "good day": ["gdd"]})
+    # 'good' is in the vocabulary (word of 'good day') but no match
+    # covers it alone: one section → only the longest/first survives
+    ms = find_mentions([(1, "Even good day")], t, single_longest=True)
+    assert [m.name for m in ms] == ["good day"]
+    # non-vocab word 'nice' splits the sections → both survive
+    ms2 = find_mentions([(1, "Even nice day")], t, single_longest=True)
+    assert sorted(m.name for m in ms2) == ["day", "even"]
