@@ -18,6 +18,14 @@ def documents_as_web_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     (url, warc_ts, html, text, lang) so the north-rule pipeline can run
     over driver-provided data."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # html-escape the interpolated text like datagen.html_for does
+    # (html.escape semantics: & first, then <>"') — a document
+    # containing 'a < b & c' must not produce malformed markup whose
+    # extracted_text silently disagrees with the text column
+    esc = F.col("text")
+    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                     ('"', "&quot;"), ("'", "&#x27;")):
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
     return docs.select(
         F.concat(F.lit("https://docs.example/"), F.col("source"), F.lit("/"), F.col("doc_id"))
         .alias("url"),
@@ -25,7 +33,7 @@ def documents_as_web_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(
             F.concat(
                 F.lit("<html><head><title>doc</title></head><body><p>"),
-                F.col("text"),
+                esc,
                 F.lit("</p></body></html>"),
             ),
             "utf-8",

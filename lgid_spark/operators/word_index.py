@@ -37,13 +37,19 @@ def dense_word_ids(words: DataFrame, word_col: str = "word",
     b = w.withColumn("_bkt", F.substring("word", 1, prefix_len))
     # per-bucket sizes: small frame (≤ |alphabet|^prefix_len distinct
     # prefixes, in practice thousands) — the only globally-ordered step
+    # order by UTF-8 BYTES, not strings: Spark compares strings by
+    # UTF-16 code unit (surrogates sort non-BMP chars before U+E000+),
+    # DuckDB by UTF-8 byte (code-point order) — materialized ids must
+    # agree across engines. encode() is order-consistent with the
+    # prefix bucketing because a UTF-8 encoding of a string prefix is
+    # a byte-prefix of the encoded string.
     offsets = (
         b.groupBy("_bkt").agg(F.count("*").alias("_n"))
         .withColumn(
             "_offset",
             F.coalesce(
                 F.sum("_n").over(
-                    Window.orderBy("_bkt")
+                    Window.orderBy(F.encode(F.col("_bkt"), "UTF-8"))
                     .rowsBetween(Window.unboundedPreceding, -1)),
                 F.lit(0),
             ),
@@ -51,7 +57,7 @@ def dense_word_ids(words: DataFrame, word_col: str = "word",
         .select("_bkt", "_offset")
     )
     rn = F.row_number().over(
-        Window.partitionBy("_bkt").orderBy("word"))
+        Window.partitionBy("_bkt").orderBy(F.encode(F.col("word"), "UTF-8")))
     return (
         b.join(F.broadcast(offsets), "_bkt")
         .select(

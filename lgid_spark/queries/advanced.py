@@ -113,6 +113,27 @@ def mention_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _canon_tok_sql(w: str) -> str:
+    """DuckDB twin of the matcher's token normalization + dash
+    fallback (operators/mentions.py _norm_token / NameTable.canon):
+    lowercase, strip accents, take the punctuation-capture core
+    (edge dash = punctuation, interior dash = part of the name), then
+    fall back to the dash-removed form when it is a vocabulary word.
+    Keeps the oracle honest on capitalized / punctuation-adjacent /
+    accented / dashed surface forms, not just sanitized fixtures."""
+    vocab = sorted({t for n in _MENTION_TABLE for t in n.split()})
+    vlist = ", ".join(f"'{v}'" for v in vocab)
+    nrm = (
+        "regexp_extract(strip_accents(lower(" + w + ")), "
+        r"'([''ǂ!/=]*[\p{L}\p{N}_]+((-|''|/)+[\p{L}\p{N}_]+)*)', 1)"
+    )
+    return (
+        f"(CASE WHEN {nrm} IN ({vlist}) THEN {nrm} "
+        f"WHEN replace({nrm}, '-', '') IN ({vlist}) "
+        f"THEN replace({nrm}, '-', '') ELSE {nrm} END)"
+    )
+
+
 def _mention_oracle_sql() -> str:
     # token-run counting per name; fan-out per code via the dim union
     dim = " UNION ALL ".join(
@@ -123,14 +144,15 @@ def _mention_oracle_sql() -> str:
     return f"""
 WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
 occ1 AS (  -- single-word names
-  SELECT w.doc_id, words[i] AS name
+  SELECT w.doc_id, {_canon_tok_sql('words[i]')} AS name
   FROM w, unnest(generate_series(1, len(words))) u(i)
-  WHERE words[i] IN ('table', 'merge', 'window')
+  WHERE {_canon_tok_sql('words[i]')} IN ('table', 'merge', 'window')
 ),
 occ2 AS (  -- the multi-word name
   SELECT w.doc_id, 'fast join' AS name
   FROM w, unnest(generate_series(1, len(words)-1)) u(i)
-  WHERE words[i] = 'fast' AND words[i+1] = 'join'
+  WHERE {_canon_tok_sql('words[i]')} = 'fast'
+    AND {_canon_tok_sql('words[i+1]')} = 'join'
 ),
 occ AS (SELECT * FROM occ1 UNION ALL SELECT * FROM occ2),
 dim AS ({dim})

@@ -149,11 +149,18 @@ def mention_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SQL["mention_recall"] = """
+# token normalization mirrors the matcher (see advanced._canon_tok_sql):
+# lowercase + strip accents + punctuation-capture core, so capitalized /
+# punctuation-adjacent / accented surface forms count on both sides
+_RECALL_NRM = ("regexp_extract(strip_accents(lower(tok)), "
+               r"'([''ǂ!/=]*[\p{L}\p{N}_]+((-|''|/)+[\p{L}\p{N}_]+)*)', 1)")
+
+ORACLE_SQL["mention_recall"] = f"""
 WITH w AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words FROM documents),
 hits AS (
   SELECT DISTINCT doc_id FROM w, unnest(words) AS u(tok)
-  WHERE tok IN ('table', 'merge', 'window')
+  WHERE {_RECALL_NRM} IN ('table', 'merge', 'window')
+     OR replace({_RECALL_NRM}, '-', '') IN ('table', 'merge', 'window')
 )
 SELECT COUNT(*) AS docs_with_mention,
        CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM documents) AS recall
@@ -181,6 +188,7 @@ import hashlib as _hashlib
 
 _DIM = 64
 _COS_MIN = 0.35
+_DUP_MAX_BUCKET = 1000  # RP-LSH hot-bucket cap (replicated in oracle)
 _N_DUP_PLANES = 16
 _N_DUP_BANDS = 2
 _BAND_BITS = _N_DUP_PLANES // _N_DUP_BANDS
@@ -204,18 +212,6 @@ def _dot64(x, y):
         F.lit(0.0),
         lambda acc, i: acc
         + F.element_at(x, i).cast("double") * F.element_at(y, i).cast("double"),
-    )
-
-
-def _dup_proj(coefs):
-    # NB: closure, not a default arg — a `c=coefs` default changes the
-    # lambda arity Spark sees and breaks F.aggregate
-    return F.aggregate(
-        F.sequence(F.lit(1), F.lit(_DIM)),
-        F.lit(0.0),
-        lambda acc, i: acc
-        + F.element_at(F.col("embedding"), i).cast("double")
-        * F.element_at(coefs, i),
     )
 
 
@@ -297,7 +293,22 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.array(*[
             _band_of(F.col("sig"), j) for j in range(_N_DUP_BANDS)
         ])).alias("band_idx", "band_val"),
-    ).repartition("band_idx", "band_val")
+    )
+    # hot-bucket guard (same trade as minhash_jaccard_pairs /
+    # near_dup_losers): with only 2 bands × 2^8 values a viral bucket
+    # of B vectors would emit B² candidate pairs, each paying a
+    # 64-element cosine fold — buckets above the cap are excluded from
+    # candidate generation. Applied to the SHARED banded frame (below
+    # the repartition), so both self-join sides keep identical subtrees
+    # and the single-exchange reuse survives (plan-pinned).
+    hot = (
+        side.groupBy("band_idx", "band_val")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > _DUP_MAX_BUCKET)
+        .select("band_idx", "band_val")
+    )
+    side = side.join(hot, ["band_idx", "band_val"], "left_anti")
+    side = side.repartition("band_idx", "band_val")
     a = side.select(*[F.col(c).alias(c + "_a") for c in side.columns])
     b = side.select(*[F.col(c).alias(c + "_b") for c in side.columns])
     pairs = a.join(
@@ -305,6 +316,19 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("band_idx_a") == F.col("band_idx_b"))
         & (F.col("band_val_a") == F.col("band_val_b")),
     ).where(F.col("vec_id_a") < F.col("vec_id_b"))
+    # an earlier band that was EXCLUDED as hot produced no join row, so
+    # the first-match rule must treat "agreed on a hot bucket" like a
+    # disagreement or such pairs would vanish entirely (the oracle's
+    # DISTINCT over hot-filtered bands keeps them). hot is tiny by
+    # construction (over-cap buckets only) — broadcast lookups ABOVE
+    # the self-join, so the exchange reuse below is untouched.
+    for j2 in range(_N_DUP_BANDS - 1):
+        hot_j = (hot.where(F.col("band_idx") == j2)
+                 .select(F.col("band_val").alias(f"_hot_val_{j2}")))
+        pairs = pairs.join(
+            F.broadcast(hot_j),
+            _band_of(F.col("sig_a"), j2) == F.col(f"_hot_val_{j2}"),
+            "left")
     # the first-match condition is written SYMMETRICALLY in the two
     # sides (band_idx_a AND band_idx_b, equal by the join) — a
     # one-sided predicate gets pushed below only one side's exchange
@@ -314,8 +338,9 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cond = (F.col("band_idx_a") == j) & (F.col("band_idx_b") == j)
         for j2 in range(j):
             cond = cond & (
-                _band_of(F.col("sig_a"), j2)
-                != _band_of(F.col("sig_b"), j2))
+                (_band_of(F.col("sig_a"), j2)
+                 != _band_of(F.col("sig_b"), j2))
+                | F.col(f"_hot_val_{j2}").isNotNull())
         first_match = cond if first_match is None else first_match | cond
     pairs = pairs.where(first_match)
     cos = _dot64(F.col("embedding_a"), F.col("embedding_b")) / (
@@ -362,10 +387,16 @@ WITH s AS (
               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm,
          CAST({_dup_sig_sql()} AS INT) AS sig
   FROM embeddings
-), bands AS (
+), bands0 AS (
   SELECT vec_id, j AS band_idx,
          (sig >> ({_BAND_BITS} * j)) & {(1 << _BAND_BITS) - 1} AS band_val
   FROM s, unnest([0, 1]) u(j)
+), hot AS (
+  SELECT band_idx, band_val FROM bands0
+  GROUP BY band_idx, band_val HAVING COUNT(*) > {_DUP_MAX_BUCKET}
+), bands AS (
+  SELECT b.* FROM bands0 b
+  LEFT JOIN hot h USING (band_idx, band_val) WHERE h.band_idx IS NULL
 ), cand AS (
   SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
   FROM bands x JOIN bands y
@@ -465,7 +496,12 @@ def distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SQL["distinct_aggs"] = """
 SELECT COUNT(DISTINCT user_id) AS n_users,
        COUNT(DISTINCT event_type) AS n_types,
-       COUNT(DISTINCT (user_id, event_type)) AS n_user_type_pairs
+       -- FILTER mirrors Spark's countDistinct(a, b), which skips rows
+       -- where ANY argument is NULL; DuckDB's struct-distinct would
+       -- otherwise count NULL-bearing tuples
+       COUNT(DISTINCT (user_id, event_type))
+         FILTER (user_id IS NOT NULL AND event_type IS NOT NULL)
+         AS n_user_type_pairs
 FROM events
 """
 

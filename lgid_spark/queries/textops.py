@@ -60,7 +60,7 @@ SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars,
   CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens,
   CAST(len(list_distinct({_WORDS_SQL})) AS BIGINT) AS n_distinct_tokens,
-  CAST(list_sum(list_transform({_WORDS_SQL}, w -> length(w))) AS DOUBLE)
+  CAST(COALESCE(list_sum(list_transform({_WORDS_SQL}, w -> length(w))), 0) AS DOUBLE)
     / greatest(len({_WORDS_SQL}), 1) AS mean_token_len
 FROM documents
 """
@@ -98,7 +98,7 @@ ORACLE_SQL["bpe_token_stats"] = f"""
 SELECT doc_id,
   CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS n_bpe_tokens,
   CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_SQL}'))) AS BIGINT) AS n_distinct,
-  CAST(list_sum(list_transform(regexp_extract_all(text, '{_BPE_SQL}'), w -> length(w))) AS DOUBLE)
+  CAST(COALESCE(list_sum(list_transform(regexp_extract_all(text, '{_BPE_SQL}'), w -> length(w))), 0) AS DOUBLE)
     / greatest(len(regexp_extract_all(text, '{_BPE_SQL}')), 1) AS mean_tok_len
 FROM documents
 """
@@ -282,9 +282,10 @@ FROM stacked GROUP BY band_idx, band_hash HAVING COUNT(*) > 1
 # twin of emb_near_dup_pairs): candidate pairs come from shared LSH
 # bands (equi-join on band hash — never all-pairs), the exact
 # distinct-word Jaccard is computed ONLY for candidates, and pairs at
-# jaccard ≥ 0.5 survive. Banding recall at the threshold is the standard
-# LSH trade (2 bands × 2 hashes ⇒ ~44% at jac=0.5, →1 as jac→1);
-# candidates, not exhaustiveness, are the semantics.
+# jaccard ≥ _MJ_MIN = 0.9 survive. Banding recall at the threshold is
+# the standard LSH trade (2 bands × 2 hashes ⇒ 1-(1-0.81)² ≈ 0.96 at
+# jac=0.9, →1 as jac→1); candidates, not exhaustiveness, are the
+# semantics.
 # ---------------------------------------------------------------------------
 
 _MJ_MIN = 0.9
@@ -575,7 +576,8 @@ SELECT doc_a, doc_b, inter,
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {_JACCARD_MIN}
+WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6)
+      >= {_JACCARD_MIN}
 """
 
 

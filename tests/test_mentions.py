@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from lgid_spark.fixtures import LANG_TABLE, doc_lines, lines_rows
 from lgid_spark.operators.mentions import (
@@ -171,3 +172,41 @@ def test_single_longest_vocab_run_sections():
     # non-vocab word 'nice' splits the sections → both survive
     ms2 = find_mentions([(1, "Even nice day")], t, single_longest=True)
     assert sorted(m.name for m in ms2) == ["day", "even"]
+
+
+def test_mention_count_oracle_handles_messy_surface_forms(spark):
+    """The DuckDB mention-count oracle must replicate the matcher's
+    normalization (case, accents, edge punctuation, dash fallback) —
+    raw-token equality would silently diverge on any corpus less
+    sanitized than the driver fixture."""
+    import duckdb
+    import pandas as pd
+
+    from lgid_spark.queries.advanced import (
+        _MENTION_TABLE,
+        _mention_oracle_sql,
+    )
+    from lgid_spark.operators.mentions import extract_mentions
+
+    docs = pd.DataFrame({
+        "doc_id": ["1", "2", "3", "4"],
+        "text": [
+            "we use Table, daily",       # capitalized + trailing comma
+            "the tablé method",          # accented
+            "a ta-ble and fast join",    # dashed + the multi-word name
+            "nothing here",
+        ],
+    })
+    lines = spark.createDataFrame(docs).select(
+        "doc_id", F.lit(1).alias("lineno"), "text")
+    ours = {
+        (r["name"], r["code"]): r["n"]
+        for r in extract_mentions(spark, lines, _MENTION_TABLE)
+        .groupBy("name", "code").agg(F.count("*").alias("n")).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = {(n, c): int(cnt)
+            for n, c, cnt in con.execute(_mention_oracle_sql()).fetchall()}
+    assert ours == want
+    assert ours[("table", "tbl")] == 3  # all three messy forms counted

@@ -59,3 +59,23 @@ def test_vector_sink_format(spark, tmp_path):
     write_feature_vectors(inst, out)
     back = spark.read.text(out).collect()
     assert [r.value for r in back] == [row.value]
+
+
+def test_dense_ids_match_duckdb_collation_for_non_bmp(spark):
+    """Materialized word ids depend on sort ORDER, so the order must be
+    engine-portable: Spark compares strings by UTF-16 code unit
+    (surrogates put non-BMP chars before U+E000+), DuckDB by UTF-8
+    byte. dense_word_ids orders by encoded bytes — code-point order in
+    both engines."""
+    import duckdb
+
+    from lgid_spark.operators.word_index import dense_word_ids
+
+    words = ["za", "\U0001F600x", "y", "apple", "\U0001F600a"]
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    got = [(r.word, r.word_id)
+           for r in dense_word_ids(df).orderBy("word_id").collect()]
+    want = duckdb.sql(
+        "SELECT word, 10000 + ROW_NUMBER() OVER (ORDER BY word) - 1 "
+        "FROM (SELECT UNNEST(?) AS word)", params=[words]).fetchall()
+    assert got == [(w, int(i)) for w, i in want]
