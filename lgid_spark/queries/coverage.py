@@ -5,7 +5,7 @@ embedding-cosine near-dup pairs (dedup family, blocked by label)."""
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -298,17 +298,20 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near_dup_losers): with only 2 bands × 2^8 values a viral bucket
     # of B vectors would emit B² candidate pairs, each paying a
     # 64-element cosine fold — buckets above the cap are excluded from
-    # candidate generation. Applied to the SHARED banded frame (below
-    # the repartition), so both self-join sides keep identical subtrees
-    # and the single-exchange reuse survives (plan-pinned).
-    hot = (
-        side.groupBy("band_idx", "band_val")
-        .agg(F.count("*").alias("_n"))
-        .where(F.col("_n") > _DUP_MAX_BUCKET)
-        .select("band_idx", "band_val")
-    )
-    side = side.join(hot, ["band_idx", "band_val"], "left_anti")
+    # candidate generation. Bucket sizes come from a window count over
+    # the ALREADY-repartitioned frame, not a separate groupBy lineage:
+    # a groupBy would re-run the 16-plane signature fold (the stage's
+    # dominant cost) in a second scan, while the window rides the one
+    # exchange the self-join already pays — side_a, side_b, AND the
+    # tiny hot set all reuse it (plan-pinned).
     side = side.repartition("band_idx", "band_val")
+    side = side.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("band_idx", "band_val")))
+    hot = (
+        side.where(F.col("_n") > _DUP_MAX_BUCKET)
+        .select("band_idx", "band_val").distinct()
+    )
+    side = side.where(F.col("_n") <= _DUP_MAX_BUCKET).drop("_n")
     a = side.select(*[F.col(c).alias(c + "_a") for c in side.columns])
     b = side.select(*[F.col(c).alias(c + "_b") for c in side.columns])
     pairs = a.join(
