@@ -286,3 +286,85 @@ def test_untrusted_url_canon_is_recomputed(spark, tmp_path):
     # trusting the bogus column would have collapsed all 75 rows to 1
     assert dd == 15
     assert res["processed_rows"] == 60
+
+
+def test_emb_near_dup_hot_bucket_cap_cross_engine(spark, tmp_path):
+    """The emb_near_dup_pairs viral-bucket guard, exercised for real
+    (at sf0.01 no bucket exceeds the cap, so the driver gate never
+    hits this path): 1100 identical vectors make BOTH their band
+    buckets hot — the cap must suppress the ~10^6 candidate pairs
+    they'd otherwise emit — while a planted pair agreeing on the hot
+    band-0 bucket but meeting in its own cold band-1 bucket must
+    SURVIVE via the first-match hot-band correction (without it, the
+    band-1 join row is killed because band 0 'already agreed').
+    Spark and the DuckDB oracle must agree row-for-row on this input."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lgid_spark.queries.coverage import (
+        _DIM,
+        _DUP_MAX_BUCKET,
+        _N_DUP_PLANES,
+        emb_near_dup_pairs,
+    )
+    from lgid_spark.entry_queries import ORACLE_SQL
+
+    def _sign(k, i):
+        h = hashlib.md5(f"dupplane|{k}|{i}".encode()).hexdigest()[0]
+        return 1.0 if int(h, 16) & 1 else -1.0
+
+    planes = np.array([[_sign(k, i) for i in range(1, _DIM + 1)]
+                       for k in range(_N_DUP_PLANES)])
+
+    def sig_bands(v):
+        proj = planes @ v.astype(np.float32).astype(np.float64)
+        s = int(sum(int(b) << k for k, b in enumerate(proj > 0)))
+        return s & 0xFF, (s >> 8) & 0xFF
+
+    rng = np.random.RandomState(7)
+    viral = rng.randn(_DIM).astype(np.float32)
+    b0v, b1v = sig_bands(viral)
+    # planted survivor: same band-0 bucket as the viral mass (hot),
+    # its own band-1 bucket (cold) — deterministic seeded search
+    for _ in range(10000):
+        w = (viral + rng.randn(_DIM).astype(np.float32) * 0.4)
+        b0w, b1w = sig_bands(w)
+        if b0w == b0v and b1w != b1v:
+            break
+    else:  # pragma: no cover
+        pytest.fail("no planted vector found")
+    # control pair in entirely cold buckets
+    for _ in range(10000):
+        x = rng.randn(_DIM).astype(np.float32)
+        b0x, b1x = sig_bands(x)
+        if b0x != b0v and b1x not in (b1v, b1w):
+            break
+    n_viral = _DUP_MAX_BUCKET + 100
+    vecs = [viral] * n_viral + [w, w] + [x, x]
+    ids = list(range(n_viral)) + [2000, 2001, 3000, 3001]
+    table = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([1] * len(ids), pa.int32()),
+    })
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+
+    got = sorted(
+        (r["vec_a"], r["vec_b"], r["label"], r["cos_sim"])
+        for r in emb_near_dup_pairs(spark, str(tmp_path)).collect())
+    con = duckdb.connect()
+    pq_path = str(tmp_path / "embeddings.parquet").replace("'", "''")
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{pq_path}')")
+    want = sorted(map(tuple, con.execute(
+        ORACLE_SQL["emb_near_dup_pairs"]).fetchall()))
+    assert [(a, b, l, round(c, 6)) for a, b, l, c in got] \
+        == [(a, b, l, round(c, 6)) for a, b, l, c in want]
+    # both viral bands hot: no viral pair survives; the two planted
+    # pairs do — (w,w) ONLY via the hot-band correction
+    assert got == [(2000, 2001, 1, 1.0), (3000, 3001, 1, 1.0)]
