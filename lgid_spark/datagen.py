@@ -188,11 +188,14 @@ def _spark_pages(spark, n: int, rows_for):
     the table never exists in one place. At 10^12 rows you'd bump
     numPartitions; generation stays embarrassingly parallel.
     """
-    # pin UTC like queries/util.t: gen() yields tz-naive UTC wall-time
-    # datetimes, and a driver session running in another timezone would
-    # otherwise shift every warc_ts micros on conversion — breaking the
-    # byte-identical determinism contract vs pandas_web_pages
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # warc_ts crosses Arrow as tz-AWARE UTC: an aware pandas timestamp
+    # converts to the same epoch micros under ANY session timezone,
+    # whereas a naive one is interpreted in the session zone — so no
+    # session conf needs to be (permanently) mutated here and a caller
+    # session running in another timezone still gets byte-identical
+    # warc_ts micros vs pandas_web_pages (ADVICE r4: the old
+    # spark.conf.set("...timeZone","UTC") leaked into every later query
+    # of the shared session)
 
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -202,7 +205,7 @@ def _spark_pages(spark, n: int, rows_for):
             for i in pdf["id"]:
                 rows.extend(rows_for(int(i)))
             out = pd.DataFrame(rows, columns=WEB_PAGES_COLUMNS)
-            out["warc_ts"] = pd.to_datetime(out["warc_ts"]).dt.tz_localize(None)
+            out["warc_ts"] = pd.to_datetime(out["warc_ts"], utc=True)
             yield out
 
     n_parts = max(1, min(32, n // 64 or 1))

@@ -143,6 +143,30 @@ def test_domain_blocklist_stage(spark):
     assert len(rows) == len(base)
 
 
+def test_spark_pages_timezone_independent(spark):
+    """ADVICE r4: spark_web_pages must not mutate the shared session's
+    timeZone (the old conf.set leaked into every later query), and must
+    yield identical warc_ts instants (epoch micros) whatever the
+    session timezone is when the frame materializes — warc_ts crosses
+    Arrow tz-aware."""
+    from pyspark.sql import functions as F
+
+    key = "spark.sql.session.timeZone"
+    before = spark.conf.get(key)
+    try:
+        ref = [r["m"] for r in spark_web_pages(spark, 8)
+               .select("url", F.unix_micros("warc_ts").alias("m"))
+               .orderBy("url").collect()]
+        assert spark.conf.get(key) == before  # generation has no side effect
+        spark.conf.set(key, "America/New_York")
+        shifted = [r["m"] for r in spark_web_pages(spark, 8)
+                   .select("url", F.unix_micros("warc_ts").alias("m"))
+                   .orderBy("url").collect()]
+        assert shifted == ref
+    finally:
+        spark.conf.set(key, before)
+
+
 def test_domain_blocklist_normalizes_hosts(spark):
     """ADVICE r3: uppercase hosts, explicit ports, path-less URLs, and
     uppercase blocklist entries must all still match."""
