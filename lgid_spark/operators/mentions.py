@@ -188,20 +188,56 @@ def find_mentions(
             ntext = lines[idx + 1][1]
             ntoks = [(table.canon(t), s, e, nl, nl, ti)
                      for t, s, e, ti in _line_tokens(ntext)]
-            # dash healing fires in EITHER direction (analyzers.py:88):
-            # line1 ending with '-' OR line2 starting with '-' fuses the
-            # boundary tokens into one word with the break dash inside
-            # ("Méren-/glo" → méren-glo; "Wangaaybuwan/-Ngiyambaa" →
-            # wangaaybuwan-ngiyambaa); canon() then supplies the
-            # dash-removed fallback exactly like any other dashed word
-            if (text.rstrip().endswith("-")
-                    or ntext.lstrip().startswith("-")) and toks and ntoks:
-                lt, ls, _le, lsl, _lel, lti = toks[-1]
-                nt, _ns, ne, _nsl, nel, _nti = ntoks[0]
-                merged = (table.canon(lt + "-" + nt), ls, ne, lsl, nel, lti)
-                toks = toks[:-1] + [merged]
-                boundary = len(toks)  # merged token is line-1-anchored
-                ntoks = ntoks[1:]
+            # dash healing fires in EITHER direction, on the RAW line
+            # text (ADVICE r4 parity: analyzers.py:88 tests the
+            # unstripped line1.endswith('-') / line2.startswith('-'),
+            # so a 'dash+space' line ending does NOT fuse — its
+            # trailing dash is instead dropped like the reference's
+            # rstrip(' -') space-join path, which token normalization
+            # already does). The healed word is the raw concatenation
+            # last-chunk(line1)+first-chunk(line2) exactly as
+            # analyzers.py:89 joins rstrip(' ')/lstrip(' ') strings:
+            # "Méren-"+"glo" → méren-glo, "Wangaaybuwan"+"-Ngiyambaa"
+            # → wangaaybuwan-ngiyambaa (canon() supplies the
+            # dash-removed fallback), while a bare '-' boundary chunk
+            # ("foo -"+"bar") yields '-bar' whose core lies wholly in
+            # line 2 — counted in the NEXT iteration per the
+            # reference's line_break rule (analyzers.py:251,272-273),
+            # NOT healed into 'foo-bar'.
+            if text.endswith("-") or ntext.startswith("-"):
+                m1 = None
+                for m1 in _TOKEN_RE.finditer(text):
+                    pass  # last raw whitespace-chunk of line 1
+                m2 = _TOKEN_RE.search(ntext)
+                if m1 is not None and m2 is not None:
+                    raw = m1.group() + m2.group()
+                    k = len(m1.group())
+                    # the chunks the merge consumes are present in
+                    # toks/ntoks only if their own norm was nonempty
+                    if _norm_token(m1.group()):
+                        toks = toks[:-1]
+                    if _norm_token(m2.group()):
+                        ntoks = ntoks[1:]
+                    nt_merged = table.canon(_norm_token(raw))
+                    if nt_merged:
+                        cs, ce = _core_span(raw, 0)
+                        sl2, sc = ((lineno, m1.start() + cs) if cs < k
+                                   else (nl, m2.start() + cs - k))
+                        el2, ec = ((lineno, m1.start() + ce) if ce <= k
+                                   else (nl, m2.start() + ce - k))
+                        merged = (nt_merged, sc, ec, sl2, el2,
+                                  _is_title(raw))
+                        if sl2 == lineno:
+                            # core starts in line 1: matches starting
+                            # at the healed token belong to this
+                            # iteration
+                            toks = toks + [merged]
+                        else:
+                            # core wholly in line 2: continuation
+                            # token only; its own matches are the next
+                            # iteration's
+                            ntoks = [merged] + ntoks
+                boundary = len(toks)
             toks = toks + ntoks
 
         found: list[tuple[int, int, str, tuple[str, ...]]] = []

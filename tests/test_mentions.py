@@ -149,6 +149,40 @@ def test_leading_dash_heals_line_break():
     assert [m.name for m in ms2] == ["merenglo"]
 
 
+def test_dash_space_line_break_does_not_fuse():
+    """ADVICE r4 parity: the reference tests the RAW line edges
+    (analyzers.py:88 line1.endswith('-') / line2.startswith('-')). A
+    'dash+space' line ending takes the space-join path instead, whose
+    rstrip(' -') drops the dangling dash — the boundary tokens stay
+    separate words."""
+    t = NameTable({"quenya": ["qya"]})
+    # trailing 'dash+space': NOT healed → no 'quenya' anywhere
+    assert find_mentions([(1, "see Quen- "), (2, "ya and more")], t) == []
+    # control: the same break without the trailing space DOES heal
+    ms = find_mentions([(1, "see Quen-"), (2, "ya and more")], t)
+    assert [(m.name, m.startline, m.endline) for m in ms] == [
+        ("quenya", 1, 2)]
+    # leading 'space+dash' on line 2 likewise does not heal
+    t2 = NameTable({"wangaaybuwan-ngiyambaa": ["wyb"]})
+    assert find_mentions(
+        [(5, "spoken Wangaaybuwan"), (6, "  -Ngiyambaa data")], t2) == []
+
+
+def test_bare_dash_boundary_chunk_is_not_glued_to_prev_word():
+    """'Aer -' + 'Quenya': the reference fuses the raw strings
+    (rstrip(' ')+lstrip(' ')), so the healed word is '-Quenya' — whose
+    core lies wholly in line 2 — NOT 'aer-quenya'. 'quenya' is counted
+    once by line 2's own iteration; multi-word matches still cross the
+    boundary through the healed continuation token."""
+    t = NameTable({"quenya": ["qya"], "aer quenya": ["aq"]})
+    ms = find_mentions([(1, "see Aer -"), (2, "Quenya here")], t)
+    got = sorted((m.name, m.startline, m.endline, m.startcol) for m in ms)
+    assert got == [
+        ("aer quenya", 1, 2, 4),   # crossing match, starts at 'Aer'
+        ("quenya", 2, 2, 0),       # counted on line 2 only, once
+    ]
+
+
 def test_splice_respects_block_boundaries():
     """The reference pairs lines within one Freki block only
     (analyzers.py:80) — a dash at a block boundary must not heal."""
