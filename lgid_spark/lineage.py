@@ -297,13 +297,19 @@ def run_incremental(
         todo.persist()
         try:
             n_rows = todo.count()
-            if n_rows == 0:
+            if n_rows == 0 and not near_dup:
                 return {"processed_rows": 0, "processed_buckets": 0}
-            (
-                todo.write.mode("append")
-                .partitionBy("bucket")
-                .parquet(output_path)
-            )
+            # near_dup can leave todo empty while uncommitted probe
+            # buckets remain (every doc of every uncommitted bucket
+            # lost to a committed-bucket canonical): lineage must still
+            # commit those buckets below or resume would re-run the
+            # whole near-dup chain forever.
+            if n_rows:
+                (
+                    todo.write.mode("append")
+                    .partitionBy("bucket")
+                    .parquet(output_path)
+                )
             lin = lineage_rows(todo, snapshot_id, nd_counts)
             if near_dup:
                 # a bucket whose EVERY doc was a near-dup loser has no
@@ -328,6 +334,35 @@ def run_incremental(
                     )
                 )
                 lin = lin.unionByName(emptied)
+                # ADVICE r4: on a resume over an EXTENDED input, a new
+                # doc can lose to a canonical doc whose bucket is
+                # already committed — lineage_rows builds rows from
+                # `todo` (uncommitted buckets) only, so that loser's
+                # drop would vanish and the books (input = processed +
+                # dedup_dropped + near_dup_dropped) silently break.
+                # Append a counts-only lineage row per committed canon
+                # bucket carrying its near-dup drops (and the exact-
+                # dedup drops that left with the losers).
+                loser_dd = (
+                    F.coalesce(F.col("loser_dedup_dropped"), F.lit(0))
+                    if "loser_dedup_dropped" in nd_counts.columns
+                    else F.lit(0))
+                nd_committed = (
+                    nd_counts.join(F.broadcast(done), "bucket", "left_semi")
+                    .select(
+                        "bucket",
+                        F.lit(snapshot_id).alias("snapshot_id"),
+                        F.lit(0).cast("long").alias("input_count"),
+                        F.lit(0).cast("long").alias("kept_count"),
+                        loser_dd.cast("long").alias("dedup_dropped"),
+                        F.col("near_dup_dropped").cast("long")
+                        .alias("near_dup_dropped"),
+                        F.lit(None).cast("map<string,bigint>")
+                        .alias("drop_hist"),
+                        F.lit(None).cast("bigint").alias("checksum"),
+                    )
+                )
+                lin = lin.unionByName(nd_committed)
             lin.persist()
             n_buckets_done = lin.count()
             lin.write.mode("append").parquet(metrics_path)

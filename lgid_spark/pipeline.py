@@ -549,7 +549,10 @@ def near_dup_losers(
     loc = pages.select("url", "bucket")
     # canon_bucket = the surviving canonical doc's bucket: drop counts
     # are attributed there (a loser's own bucket may end up with zero
-    # surviving rows and thus no lineage row to carry the count)
+    # surviving rows and thus no lineage row to carry the count). On a
+    # resume the canon bucket may already be COMMITTED — lineage then
+    # appends a counts-only row for it (lineage.run_incremental,
+    # ADVICE r4) so the drop is never lost.
     return (
         losers.join(loc, "url")
         .join(loc.select(F.col("url").alias("component"),

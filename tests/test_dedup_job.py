@@ -149,6 +149,122 @@ def test_near_dup_noop_resume_skips_chain(spark, tmp_path, monkeypatch):
     assert res == {"processed_rows": 0, "processed_buckets": 0}
 
 
+def _bucket_of(spark, url, n_buckets=N_BUCKETS):
+    from lgid_spark.pipeline import canonical_url
+
+    return spark.range(1).select(
+        F.pmod(F.xxhash64(canonical_url(F.lit(url))), F.lit(n_buckets))
+        .cast("int").alias("b")).collect()[0]["b"]
+
+
+_SHARED_TEXT = "\n".join(
+    "the quick brown fox jumps over the lazy dog line %d" % j
+    for j in range(6))
+_CANON_URL = "https://site.example/copy/0"
+
+
+def _page_row(url, day, text):
+    return (url, dt.datetime(2024, 1, day), html_for(1, text), text, "eng")
+
+
+def _pages_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+
+
+def _fresh_bucket_url(spark, pattern, taken):
+    """First url matching pattern whose bucket is not in `taken`.
+    Urls sort AFTER _CANON_URL so the committed doc stays the
+    component's min-url canonical."""
+    for i in range(200):
+        u = pattern % i
+        b = _bucket_of(spark, u)
+        if b not in taken:
+            return u, b
+    raise AssertionError("no fresh bucket found")
+
+
+def test_near_dup_resume_extended_input_books_balance(spark, tmp_path):
+    """ADVICE r4: a new doc that loses to a canonical doc in an
+    already-committed bucket must still have its drop recorded — via a
+    counts-only lineage row for the committed canon bucket — so the
+    books (rows offered = input_count + dedup_dropped +
+    near_dup_dropped) keep balancing across resumes."""
+    out, metrics = str(tmp_path / "out"), str(tmp_path / "metrics")
+    base = [_page_row(_CANON_URL, 1, _SHARED_TEXT)]
+    run_incremental(spark, _pages_df(spark, base), out, metrics,
+                    "snap1", N_BUCKETS, near_dup=True)
+    b_canon = _bucket_of(spark, _CANON_URL)
+
+    # extend: a near-dup loser AND an unrelated doc, both in buckets
+    # not yet committed (the loser sorts after the canonical)
+    loser_url, b_loser = _fresh_bucket_url(
+        spark, "https://site.example/copy/zz%d", {b_canon})
+    other_url, b_other = _fresh_bucket_url(
+        spark, "https://other.example/doc/%d", {b_canon, b_loser})
+    other_text = " ".join("completely different words %d" % k
+                          for k in range(25))
+    extended = base + [_page_row(loser_url, 5, _SHARED_TEXT),
+                       _page_row(other_url, 6, other_text)]
+    res2 = run_incremental(spark, _pages_df(spark, extended), out,
+                           metrics, "snap2", N_BUCKETS, near_dup=True)
+    assert res2["processed_rows"] == 1  # only the unrelated doc
+
+    # the loser never reaches the output; the canonical is not rewritten
+    urls = [r["url"] for r in spark.read.parquet(out).select("url").collect()]
+    assert sorted(urls) == sorted([_CANON_URL, other_url])
+
+    lin = spark.read.parquet(metrics)
+    agg = lin.agg(F.sum("input_count").alias("n"),
+                  F.sum("dedup_dropped").alias("dd"),
+                  F.sum("near_dup_dropped").alias("nd")).collect()[0]
+    # 3 distinct rows ever offered = 2 processed + 0 exact + 1 near-dup
+    assert (agg["n"], agg["dd"], agg["nd"]) == (2, 0, 1)
+    # the drop rode a counts-only row on the COMMITTED canon bucket
+    row = lin.where((F.col("bucket") == b_canon)
+                    & (F.col("snapshot_id") == "snap2")).collect()
+    assert len(row) == 1 and row[0]["near_dup_dropped"] == 1
+    assert row[0]["input_count"] == 0 and row[0]["checksum"] is None
+
+    # and the job converges: a third run over the same input is a no-op
+    res3 = run_incremental(spark, _pages_df(spark, extended), out,
+                           metrics, "snap3", N_BUCKETS, near_dup=True)
+    assert res3 == {"processed_rows": 0, "processed_buckets": 0}
+
+
+def test_near_dup_resume_loser_only_extension_converges(spark, tmp_path):
+    """Worst shape of the same bug: the ONLY new rows are losers to
+    committed canonicals, so `todo` is empty — the run must still
+    commit the losers' buckets (zero-count rows) and record the drops,
+    or every later resume re-runs the whole near-dup chain forever."""
+    out, metrics = str(tmp_path / "out"), str(tmp_path / "metrics")
+    base = [_page_row(_CANON_URL, 1, _SHARED_TEXT)]
+    run_incremental(spark, _pages_df(spark, base), out, metrics,
+                    "snap1", N_BUCKETS, near_dup=True)
+    b_canon = _bucket_of(spark, _CANON_URL)
+    loser_url, b_loser = _fresh_bucket_url(
+        spark, "https://site.example/copy/zz%d", {b_canon})
+    extended = base + [_page_row(loser_url, 5, _SHARED_TEXT)]
+
+    res2 = run_incremental(spark, _pages_df(spark, extended), out,
+                           metrics, "snap2", N_BUCKETS, near_dup=True)
+    assert res2["processed_rows"] == 0
+    assert res2["processed_buckets"] == 2  # canon counts-row + emptied
+
+    lin = spark.read.parquet(metrics)
+    agg = lin.agg(F.sum("input_count").alias("n"),
+                  F.sum("near_dup_dropped").alias("nd")).collect()[0]
+    assert (agg["n"], agg["nd"]) == (1, 1)
+    emptied = lin.where((F.col("bucket") == b_loser)
+                        & (F.col("snapshot_id") == "snap2")).collect()
+    assert len(emptied) == 1 and emptied[0]["input_count"] == 0
+
+    res3 = run_incremental(spark, _pages_df(spark, extended), out,
+                           metrics, "snap3", N_BUCKETS, near_dup=True)
+    assert res3 == {"processed_rows": 0, "processed_buckets": 0}
+
+
 def test_run_filter_cli_dedup(spark, tmp_path, capsys):
     """End-to-end CLI drive of the composed job: dup-saturated synthetic
     input through --near-dup; summary JSON reports the deduped rows."""
