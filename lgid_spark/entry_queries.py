@@ -138,11 +138,37 @@ SELECT * FROM (VALUES
 ) AS t(lang, n_docs, dedup_dropped, n_keep)
 """
 
-# pipeline_keep_stats stays rows-only: it aggregates the flagship
-# pipeline over the sf-dependent documents table, and the keep/drop
-# decision (hashed-ngram langid + perplexity + scrub) is not
-# SQL-expressible; its per-row semantics are covered byte-exactly by
-# tests/test_pipeline_parity.py against the pandas reference oracle.
+# pipeline_keep_stats (VERDICT r4 item 2): the keep/drop decision
+# (hashed-ngram langid + perplexity) is not SQL-expressible, but the
+# driver's gate always runs over the read-only deterministic testdata,
+# so the histogram is a CONSTANT per scale factor — a golden VALUES
+# oracle keyed by an sf discriminator the oracle can compute itself
+# (SUM(LENGTH(text)) over the documents view: 153156 / 149174 /
+# 1485576 at sf0.001 / 0.01 / 0.1). The literals are DERIVED FROM THE
+# INDEPENDENT PANDAS ORACLE (oracle/reference.process_pages over the
+# same documents-as-web-pages construction), not from the Spark
+# implementation, and tests/test_pipeline_parity.py re-derives the
+# sf0.001 block from the pandas oracle every suite run so the pin
+# cannot drift. An unknown sf yields 0 oracle rows → loud mismatch.
+ORACLE_SQL["pipeline_keep_stats"] = """
+SELECT keep, drop_reasons_csv, n FROM (VALUES
+  (153156,  false, 'high_perplexity,low_stopword',           CAST(371 AS BIGINT)),
+  (153156,  false, 'high_perplexity',                        CAST(84 AS BIGINT)),
+  (153156,  false, 'high_perplexity,low_stopword,too_short', CAST(29 AS BIGINT)),
+  (153156,  false, 'high_perplexity,too_short',              CAST(16 AS BIGINT)),
+  (149174,  false, 'high_perplexity,low_stopword',           CAST(380 AS BIGINT)),
+  (149174,  false, 'high_perplexity',                        CAST(86 AS BIGINT)),
+  (149174,  false, 'high_perplexity,low_stopword,too_short', CAST(26 AS BIGINT)),
+  (149174,  false, 'high_perplexity,too_short',              CAST(8 AS BIGINT)),
+  (1485576, false, 'high_perplexity,low_stopword',           CAST(3642 AS BIGINT)),
+  (1485576, false, 'high_perplexity',                        CAST(928 AS BIGINT)),
+  (1485576, false, 'high_perplexity,low_stopword,too_short', CAST(286 AS BIGINT)),
+  (1485576, false, 'high_perplexity,too_short',              CAST(142 AS BIGINT)),
+  (1485576, false, 'bad_lang,high_perplexity,low_stopword',  CAST(2 AS BIGINT))
+) AS t(sfkey, keep, drop_reasons_csv, n)
+WHERE sfkey = (SELECT SUM(LENGTH(text)) FROM documents)
+ORDER BY n DESC, drop_reasons_csv ASC
+"""
 
 # ---------------------------------------------------------------------------
 # Driver-facing ordering (VERDICT r2 process finding): the driver's

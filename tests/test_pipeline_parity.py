@@ -143,6 +143,50 @@ def test_domain_blocklist_stage(spark):
     assert len(rows) == len(base)
 
 
+def test_keep_stats_golden_oracle_rederives(spark, tables):
+    """VERDICT r4 item 2: pipeline_keep_stats' golden VALUES oracle is
+    pinned from the INDEPENDENT pandas oracle. Re-derive the sf0.001
+    block here every suite run: pandas-oracle histogram == Spark
+    registry query == DuckDB golden oracle (sf-keyed)."""
+    import duckdb
+    import html as H
+
+    from lgid_spark.entry_queries import ORACLE_SQL, QUERIES
+    from tests.conftest import SF_DIR
+
+    # independent derivation: documents → web pages → pandas oracle
+    docs = tables["documents"].toPandas()
+    pages = pd.DataFrame({
+        "url": ("https://docs.example/" + docs["source"].astype(str)
+                + "/" + docs["doc_id"].astype(str)),
+        "warc_ts": pd.Timestamp("2024-01-01"),
+        "html": [("<html><head><title>doc</title></head><body><p>"
+                  + H.escape(t) + "</p></body></html>").encode("utf-8")
+                 for t in docs["text"]],
+        "text": docs["text"],
+        "lang": docs["lang"],
+    })
+    out = process_pages(pages)
+    out["drop_reasons_csv"] = out["drop_reasons"].map(",".join)
+    golden = (
+        out.groupby(["keep", "drop_reasons_csv"]).size().reset_index(name="n")
+        .sort_values(["n", "drop_reasons_csv"], ascending=[False, True])
+        .reset_index(drop=True))
+    golden["n"] = golden["n"].astype("int64")
+
+    spark_hist = QUERIES["pipeline_keep_stats"](spark, SF_DIR).toPandas()
+    pd.testing.assert_frame_equal(
+        spark_hist, golden[spark_hist.columns.tolist()], check_dtype=False)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')")
+    oracle_hist = con.execute(ORACLE_SQL["pipeline_keep_stats"]).df()
+    pd.testing.assert_frame_equal(
+        oracle_hist, golden[oracle_hist.columns.tolist()], check_dtype=False)
+
+
 def test_spark_pages_timezone_independent(spark):
     """ADVICE r4: spark_web_pages must not mutate the shared session's
     timeZone (the old conf.set leaked into every later query), and must
