@@ -161,3 +161,68 @@ def test_decode_image_capability_paths():
         # undecodable payloads still fall back to the stub contract
         with pytest.raises(NotImplementedError):
             decode_image(b"not-an-image", strict=True)
+
+
+def test_sample_decoded_frames_grid():
+    """VERDICT r4 item 4: the codec-agnostic timestamp-grid sampler —
+    the shared real-decode logic — pinned without needing a codec.
+    For each tick t = 0, e, 2e, … the FIRST frame reaching t is
+    emitted (at most one tick per frame); skipped ticks emit nothing
+    and the grid re-anchors past the frame that overshot."""
+    from lgid_spark.operators.multimodal import sample_decoded_frames
+
+    # 25 fps-ish stream at 40 ms: ticks 0/1000/2000 pick frames 0,
+    # 1000, 2000 exactly
+    dense = [(ts, b"f%d" % ts) for ts in range(0, 2500, 40)]
+    got = sample_decoded_frames(dense, 1000)
+    assert got == [(0, 0, b"f0"), (1, 1000, b"f1000"), (2, 2000, b"f2000")]
+
+    # sparse stream: one frame overshoots several ticks — it satisfies
+    # the pending tick, the overshot ticks collapse, the grid resumes
+    # at the next boundary after the frame
+    sparse = [(0, b"a"), (2500, b"b"), (2900, b"c"), (3100, b"d")]
+    assert sample_decoded_frames(sparse, 1000) == [
+        (0, 0, b"a"), (1, 2500, b"b"), (2, 3100, b"d")]
+
+    assert sample_decoded_frames([], 1000) == []
+    # a stream that never reaches the second tick emits one frame
+    assert sample_decoded_frames([(0, b"x"), (500, b"y")], 1000) == [
+        (0, 0, b"x")]
+
+
+def test_sample_frames_codec_paths(spark):
+    """VERDICT r4 item 4 (optional-Pillow pattern for video): with a
+    codec available the decode is REAL — exercised here through the
+    full mapInPandas plumbing with an injected adapter (the same seam
+    `_video_codec` fills when av/imageio is importable), since codecs
+    don't ship in this container; without one, strict raises and the
+    deterministic stub stands (already pinned by the oracle query)."""
+    from lgid_spark.operators.multimodal import (
+        _video_codec,
+        sample_frames,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 9)
+    if _video_codec() is None:
+        with pytest.raises(Exception):
+            sample_frames(media, every_ms=1000, strict=True).collect()
+
+    def fake_codec(payload: bytes):
+        # deterministic per-payload "decode": 7 frames at 400 ms
+        for i in range(7):
+            yield i * 400, payload[:4] + b"|%d" % i
+
+    rows = sample_frames(media, every_ms=1000, decoder=fake_codec).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert set(by_media) == {i for i in range(9) if i % 3 == 2}
+    for mid, fs in sorted(by_media.items()):
+        # ticks 0/1000/2000 over 0..2400ms@400 → frames at 0, 1200, 2000
+        assert [(f.frame_idx, f.ts_ms) for f in
+                sorted(fs, key=lambda f: f.frame_idx)] == [
+            (0, 0), (1, 1200), (2, 2000)]
+        # decoded frame BYTES ride through Arrow untouched: suffix
+        # names the source frame (0/1200/2000 ms = frames 0, 3, 5)
+        assert {bytes(f.frame)[-2:] for f in fs} == {b"|0", b"|3", b"|5"}
