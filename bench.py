@@ -13,6 +13,15 @@ crawl-table layout ("scaling_dedup_bucketed"). Prints ONE JSON line:
  "scaling": {...}, "scaling_dedup_bucketed": {...}}.
 
 --no-scaling skips the two-parallelism measurement (quick local runs).
+
+Self-enforced credibility gate (VERDICT r4): if the cold query pass
+exceeds $BENCH_COLD_GATE_SEC (default 24 s — BASELINE.md's
+degraded-host tell), the harness settles and retries the query loop
+once in a fresh JVM, then reports "degraded_host" in the JSON either
+way. The dedup cost question is answered by an in-harness interleaved
+A/B ("dedup_ab"): production / +dedup-shuffle / +dedup-over-bucketed
+in rep rotation, with per-rep overhead RATIOS (median + spread) so
+host drift cancels instead of smearing the overhead estimate.
 """
 
 from __future__ import annotations
@@ -321,6 +330,22 @@ def _cpu_frequency_ceiling(lo: int, hi: int) -> float:
     return min(min(ratios), 1.0)
 
 
+def _queries_probe(cpus: int, sf_dir: str) -> tuple[dict[str, float], float]:
+    """Re-run the headline-query timing loop in a FRESH subprocess (new
+    JVM — a within-session retry would find the codegen cache warm and
+    report an artificially fast 'cold' pass) and return (times, cold)."""
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_CPUS=str(cpus))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--queries-only"],
+        capture_output=True, text=True, check=True, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    d = json.loads(out.stdout.strip().splitlines()[-1])
+    return d["queries"], d["cold"]
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--pipeline-only" in sys.argv:
@@ -335,38 +360,101 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     scaling = "--no-scaling" not in sys.argv
 
+    if "--queries-only" in sys.argv:
+        spark = _fresh_spark(cpus)
+        spark.range(1000).count()
+        q, c = _run_queries(spark, sf_dir)
+        spark.stop()
+        print(json.dumps({"queries": q, "cold": c}))
+        return
+
+    import statistics
+
     spark = _fresh_spark(cpus)
     # warm the JVM/Arrow path once so measured times are steady-state
     spark.range(1000).count()
 
     queries, cold_total = _run_queries(spark, sf_dir)
+    # ------------------------------------------------------------------
+    # Host-credibility gate (VERDICT r4 #1): BASELINE.md's measurement-
+    # hygiene rule says a run whose cold pass exceeds ~23-24 s is a
+    # degraded-host artifact — discard, never ratio-correct. The
+    # harness now enforces its own rule: over the gate it settles and
+    # retries the query loop ONCE in a fresh JVM, takes the better
+    # attempt, and self-reports the verdict in the output JSON so a
+    # degraded BENCH_r{N}.json can never again masquerade as a
+    # regression.
+    # ------------------------------------------------------------------
+    cold_gate = float(os.environ.get("BENCH_COLD_GATE_SEC", "24"))
+    cold_attempts = [cold_total]
+    if cold_total > cold_gate:
+        settle = float(os.environ.get("BENCH_SETTLE_SEC", "60"))
+        print(f"bench: cold pass {cold_total:.1f}s > {cold_gate:.0f}s "
+              f"gate — possible degraded host; settling {settle:.0f}s "
+              "and retrying once", file=sys.stderr)
+        time.sleep(settle)
+        q2, c2 = _queries_probe(cpus, sf_dir)
+        cold_attempts.append(c2)
+        if c2 < cold_total:
+            queries, cold_total = q2, c2
+    degraded = cold_total > cold_gate
+    print("bench: " + (
+        f"DEGRADED HOST (cold pass {cold_total:.1f}s > {cold_gate:.0f}s "
+        "after retry) — per-query seconds are NOT credible; discard "
+        "this run, do not average or ratio-correct (BASELINE.md rule)"
+        if degraded else
+        f"host credible (cold pass {cold_total:.1f}s <= "
+        f"{cold_gate:.0f}s gate)"), file=sys.stderr)
+
     pipe_sec = _run_pipeline(spark, PIPELINE_DOCS)
     docs_per_sec = round(PIPELINE_DOCS / pipe_sec, 1)
     queries["filter_pipeline"] = round(pipe_sec, 3)
-    # production shape (scrubbed only — run_filter's default output)
-    prod_sec = _run_pipeline(spark, PIPELINE_DOCS, warm=False,
-                             production=True)
-    queries["filter_pipeline_production"] = round(prod_sec, 3)
     # Arrow-diet variant (emit flags off): same input, keep/drop labels
     # only — the delta vs filter_pipeline is the per-doc cost of
     # shipping extracted+scrubbed text over Arrow plus the scrub regex
     diet_sec = _run_pipeline(spark, PIPELINE_DOCS, warm=False,
                              labels_only=True)
     queries["filter_pipeline_labels_only"] = round(diet_sec, 3)
-    # round-4 run_filter default: exact dedup composed before the UDF
-    # pass (all-unique input → the delta vs production is the dedup
-    # shuffle's worst-case overhead)
-    dd_sec = _run_pipeline(spark, PIPELINE_DOCS, warm=False,
-                           production=True, dedup=True)
-    queries["filter_pipeline_dedup"] = round(dd_sec, 3)
-    # steady-state dedup (TODO r4 #3): same stage over the bucketed
-    # crawl-table layout — the dedup aggregate runs exchange-free, so
-    # the delta vs production is what dedup costs once the table is
-    # written CLUSTERED BY (url_canon). Table write/attach is untimed
-    # (it is the ingest-time cost, paid once per corpus).
+
+    # ------------------------------------------------------------------
+    # Interleaved dedup A/B (VERDICT r4 #1): production (scrubbed-only
+    # emit), production+dedup (worst case: all-unique input, the dedup
+    # shuffle is pure overhead), and production+dedup over the bucketed
+    # crawl-table layout (steady state: zero Exchange) — measured in
+    # rep-interleaved rotation so per-rep RATIOS pair like machine
+    # states and host drift cancels. Table write/attach is untimed (the
+    # once-per-corpus ingest cost).
+    # ------------------------------------------------------------------
     btable = _materialize_bucketed_pages(spark, PIPELINE_DOCS)
-    db_sec = _run_pipeline(spark, PIPELINE_DOCS, warm=False,
-                           production=True, bucketed_table=btable)
+    ab_reps = int(os.environ.get("BENCH_AB_REPS", "3"))
+    ab: dict[str, list[float]] = {"production": [], "dedup": [],
+                                  "bucketed": []}
+    for _ in range(ab_reps):
+        ab["production"].append(_run_pipeline(
+            spark, PIPELINE_DOCS, warm=False, production=True))
+        ab["dedup"].append(_run_pipeline(
+            spark, PIPELINE_DOCS, warm=False, production=True, dedup=True))
+        ab["bucketed"].append(_run_pipeline(
+            spark, PIPELINE_DOCS, warm=False, production=True,
+            bucketed_table=btable))
+    med = {k: statistics.median(v) for k, v in ab.items()}
+    r_dedup = sorted(d / p for p, d in zip(ab["production"], ab["dedup"]))
+    r_bucket = sorted(b / p for p, b in zip(ab["production"], ab["bucketed"]))
+    dedup_ab = {
+        "reps": ab_reps,
+        "production_sec": [round(x, 3) for x in ab["production"]],
+        "dedup_sec": [round(x, 3) for x in ab["dedup"]],
+        "bucketed_sec": [round(x, 3) for x in ab["bucketed"]],
+        # per-rep ratio median + spread: the pinned overhead numbers
+        "dedup_overhead_ratio": round(statistics.median(r_dedup), 3),
+        "dedup_overhead_spread": round(r_dedup[-1] - r_dedup[0], 3),
+        "bucketed_overhead_ratio": round(statistics.median(r_bucket), 3),
+        "bucketed_overhead_spread": round(r_bucket[-1] - r_bucket[0], 3),
+    }
+    prod_sec, dd_sec, db_sec = (med["production"], med["dedup"],
+                                med["bucketed"])
+    queries["filter_pipeline_production"] = round(prod_sec, 3)
+    queries["filter_pipeline_dedup"] = round(dd_sec, 3)
     queries["filter_pipeline_dedup_bucketed"] = round(db_sec, 3)
 
     # r1 comparability: r1's "value" summed 19 queries + a 60k-doc
@@ -392,6 +480,10 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "cold_pass_sec": cold_total,
+        "cold_pass_attempts": cold_attempts,
+        "cold_gate_sec": cold_gate,
+        "degraded_host": degraded,
+        "dedup_ab": dedup_ab,
         "filter_docs_per_sec": docs_per_sec,
         "filter_production_docs_per_sec": round(PIPELINE_DOCS / prod_sec, 1),
         "filter_labels_only_docs_per_sec": round(PIPELINE_DOCS / diet_sec, 1),
