@@ -9,7 +9,8 @@ Usage:
         --output /path/filtered
         --metrics /path/metrics
         [--snapshot-id run-2026-08-16] [--buckets 64]
-        [--no-dedup] [--near-dup [--near-dup-jaccard 0.9]]
+        [--no-dedup] [--near-dup [--near-dup-jaccard 0.9]
+                      [--near-dup-stage /scratch/dedup_stage]]
         [--blocklist hosts.txt] [--emit-extracted]
 
 Stage order (round 4): canonical-url exact dedup (default on) →
@@ -63,6 +64,15 @@ def main(argv: list[str] | None = None) -> int:
                          "component)")
     ap.add_argument("--near-dup-jaccard", type=float, default=0.9,
                     help="Jaccard threshold for --near-dup (default 0.9)")
+    ap.add_argument("--near-dup-stage", default=None, metavar="PATH",
+                    help="materialize the post-dedup frame as a "
+                         "bucketed table at PATH and feed the near-dup "
+                         "loser scan AND the UDF pass from that one "
+                         "write (the crawl-scale shape; default "
+                         "shares it via an in-memory persist — fine "
+                         "for small corpora). The written table "
+                         "doubles as a committed dedup table "
+                         "re-attachable with bucketed:PATH")
     ap.add_argument("--near-dup-max-bucket", type=int, default=1000,
                     help="LSH hot-bucket cap: band values shared by "
                          "more docs are excluded from candidate "
@@ -129,7 +139,8 @@ def main(argv: list[str] | None = None) -> int:
         near_dup_jaccard=args.near_dup_jaccard,
         near_dup_max_bucket=args.near_dup_max_bucket or None,
         blocked_hosts=blocked,
-        trust_url_canon=trust_url_canon)
+        trust_url_canon=trust_url_canon,
+        stage_path=args.near_dup_stage)
     res.update({"snapshot_id": snapshot, "sec": round(time.time() - t0, 2)})
     print(json.dumps(res))
     return 0

@@ -24,6 +24,8 @@ needs.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -171,6 +173,7 @@ def run_incremental(
     near_dup_max_bucket: int = 1000,
     blocked_hosts: DataFrame | None = None,
     trust_url_canon: bool = False,
+    stage_path: str | None = None,
 ) -> dict:
     """Process only not-yet-committed buckets; append output + lineage.
 
@@ -194,9 +197,12 @@ def run_incremental(
     * ``near_dup`` (opt-in): MinHash-band → exact-Jaccard →
       connected-components document dedup at ``near_dup_jaccard``;
       per component only the min-url canonical doc survives. The
-      deduped frame is persisted (spillable) because the loser scan
-      and the UDF pass share it — a real deployment would instead
-      read back the committed dedup table.
+      deduped frame is shared by the loser scan and the UDF pass:
+      by default via persist() (spillable — the small-corpus shape);
+      with ``stage_path`` it is instead WRITTEN once as a bucketed
+      table (pipeline.stage_deduped_pages) and both consumers read it
+      back as plain column-pruned FileScans — the crawl-scale shape,
+      where the written table doubles as the committed dedup table.
 
     The production output carries scrubbed_text (the product) but NOT
     extracted_text by default: pre-scrub text roughly doubles both the
@@ -226,7 +232,7 @@ def run_incremental(
             n_buckets)
         extra_cols = ("dup_count",)
     nd_counts = None
-    staged = None
+    staged = cached = None
     if near_dup:
         if "bucket" not in pages.columns:
             pages = with_bucket(pages, n_buckets)
@@ -256,7 +262,21 @@ def run_incremental(
                 F.broadcast(done_probe), "bucket", "left_anti"
         ).limit(1).count() == 0:
             return {"processed_rows": 0, "processed_buckets": 0}
-        staged = pages.persist()
+        if stage_path is not None:
+            # crawl-scale staging (VERDICT r4 #3): materialize the
+            # deduped frame once instead of persisting html+text in
+            # executor memory; each consumer below then plans a plain
+            # bucketed scan of the written table (asserted in
+            # tests/test_dedup_job.py::test_staged_near_dup_plans)
+            from .pipeline import stage_deduped_pages
+
+            staged = stage_deduped_pages(
+                spark, pages,
+                "lgid_stage_" + hashlib.md5(
+                    stage_path.encode()).hexdigest()[:10],
+                stage_path, n_buckets)
+        else:
+            staged = cached = pages.persist()
         losers = near_dup_losers(
             staged, jaccard_min=near_dup_jaccard,
             max_band_bucket=near_dup_max_bucket)
@@ -374,5 +394,5 @@ def run_incremental(
         finally:
             todo.unpersist()
     finally:
-        if staged is not None:
-            staged.unpersist()
+        if cached is not None:
+            cached.unpersist()

@@ -594,6 +594,32 @@ def write_bucketed_pages(
     writer.saveAsTable(table_name)
 
 
+def stage_deduped_pages(
+    spark: SparkSession,
+    pages: DataFrame,
+    table_name: str,
+    path: str,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+) -> DataFrame:
+    """Materialize a (post-dedup) pages frame as a bucketed table and
+    return the READ-BACK frame (VERDICT r4 #3 — the 100-TB near-dup
+    staging shape).
+
+    run_incremental's --near-dup path has two consumers of the deduped
+    frame: the MinHash/Jaccard loser scan and the fused UDF pass. The
+    small-corpus default shares it via persist(), but at crawl scale a
+    persist of html+text is executor-memory/spill pressure the job
+    doesn't need: writing the frame ONCE (bucketed by url_canon,
+    reusing write_bucketed_pages' layout) gives every consumer a plain
+    column-pruned bucketed FileScan — the loser branch reads only
+    (url, bucket, text), the UDF pass only (url, warc_ts, html, …) —
+    instead of a recompute or a spilled cache. The written table is
+    also exactly the committed dedup table a real deployment keeps
+    (and can later re-attach with register_bucketed_pages)."""
+    write_bucketed_pages(pages, table_name, n_buckets, path=path)
+    return spark.table(table_name)
+
+
 def exact_dedup_bucketed(
     spark: SparkSession,
     table_name: str,

@@ -484,3 +484,70 @@ def test_emb_near_dup_hot_bucket_cap_cross_engine(spark, tmp_path):
     # both viral bands hot: no viral pair survives; the two planted
     # pairs do — (w,w) ONLY via the hot-band correction
     assert got == [(2000, 2001, 1, 1.0), (3000, 3001, 1, 1.0)]
+
+
+def test_run_incremental_near_dup_staged_equals_persist(spark, tmp_path):
+    """VERDICT r4 item 3: --near-dup-stage materializes the deduped
+    frame as a bucketed table instead of persisting it; output AND
+    lineage must be identical to the small-corpus persist default."""
+    import os
+    import re
+
+    results = {}
+    for mode in ("persist", "staged"):
+        out = str(tmp_path / f"out_{mode}")
+        metrics = str(tmp_path / f"metrics_{mode}")
+        kw = ({"stage_path": str(tmp_path / "stage")}
+              if mode == "staged" else {})
+        res = run_incremental(
+            spark, _near_dup_corpus(spark), out, metrics, "snap1",
+            N_BUCKETS, near_dup=True, **kw)
+        rows = sorted(
+            (r.asDict() for r in spark.read.parquet(out).collect()),
+            key=lambda d: d["url"])
+        lin = sorted(
+            map(tuple, spark.read.parquet(metrics)
+                .drop("snapshot_id").collect()))
+        results[mode] = (res, rows, lin)
+    assert results["persist"] == results["staged"]
+    # the stage dir holds write_bucketed_pages layout (…_NNNNN. files)
+    # — re-attachable later as the committed dedup table
+    staged_files = os.listdir(str(tmp_path / "stage"))
+    assert any(re.search(r"_\d{5}\.", f) for f in staged_files)
+
+
+def test_staged_near_dup_plans(spark, tmp_path):
+    """One scan per consumer (VERDICT r4 item 3's done-bar): after
+    staging, the near-dup loser branch and the UDF pass each plan a
+    plain column-pruned parquet scan of the staged table — no replay
+    of the dedup aggregate, no scan of the original input, no
+    Exchange, nothing cached."""
+    from lgid_spark.pipeline import stage_deduped_pages
+
+    pages = exact_dedup_pages(_near_dup_corpus(spark), N_BUCKETS)
+    staged = stage_deduped_pages(
+        spark, pages, "lgid_stage_plan_test", str(tmp_path / "stage"),
+        N_BUCKETS)
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # the loser branch reads (url, bucket, text); the UDF pass reads
+    # (url, warc_ts, html, dup_count) — each consumer's plan is ONE
+    # bucketed FileScan of the staged table pruned to its columns
+    consumers = {
+        "losers": staged.select("url", "bucket", "text"),
+        "udf_pass": staged.select("url", "warc_ts", "html", "dup_count"),
+    }
+    for name, df in consumers.items():
+        plan = plan_of(df)
+        assert plan.count("Scan parquet") == 1, name
+        assert "stage" in plan, name          # the materialized table…
+        assert "LocalTableScan" not in plan, name  # …not the raw input
+        assert "HashAggregate" not in plan, name   # dedup agg not replayed
+        assert "Exchange" not in plan, name
+        assert "InMemoryTableScan" not in plan, name
+    # column pruning reached the scan: the loser branch does not read
+    # the (heavy) html column, the UDF pass does not read text
+    assert "html" not in plan_of(consumers["losers"])
+    assert "text" not in plan_of(consumers["udf_pass"])
