@@ -107,6 +107,59 @@ def lineage_rows(
     )
 
 
+def audit_lineage(
+    spark: SparkSession, output_path: str, metrics_path: str
+) -> DataFrame:
+    """Integrity audit over a (possibly multi-snapshot, resumed) run:
+    recompute per-bucket row count, kept count, and the
+    order-insensitive checksum from the OUTPUT table and diff them
+    against the committed lineage. Returns one row per disagreeing
+    bucket (empty frame = books are sound) with both sides of every
+    number — the operator-facing check that a crash/retry or a
+    concurrent writer didn't leave the output and the metrics table
+    telling different stories.
+
+    Lineage side: a bucket has exactly one full row (resume processes
+    only uncommitted buckets) plus possibly counts-only rows
+    (zero-count rows for emptied buckets; near-dup drop carriers for
+    committed canon buckets) — summing counts and bit_xor-ing the
+    non-null checksums per bucket collapses them correctly. The
+    comparison is one shuffle per side on the low-cardinality bucket
+    key; the output-side scan reads only (bucket, url, keep,
+    scrubbed_text)."""
+    lin = (
+        spark.read.parquet(metrics_path)
+        .groupBy("bucket").agg(
+            F.sum("input_count").alias("lineage_rows"),
+            F.sum("kept_count").alias("lineage_kept"),
+            F.expr("bit_xor(checksum)").alias("lineage_checksum"),
+        )
+    )
+    out = spark.read.parquet(output_path)
+    if "scrubbed_text" not in out.columns:
+        # labels-only output cannot reproduce the url||scrubbed_text
+        # fold — audit counts only
+        checksum = F.lit(None).cast("bigint")
+    else:
+        checksum = F.expr("bit_xor(xxhash64(concat(url, scrubbed_text)))")
+    got = out.groupBy("bucket").agg(
+        F.count("*").alias("output_rows"),
+        F.sum(F.col("keep").cast("long")).alias("output_kept"),
+        checksum.alias("output_checksum"),
+    )
+    joined = lin.join(got, "bucket", "full_outer")
+    zero = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    return joined.where(
+        (zero("lineage_rows") != zero("output_rows"))
+        | (zero("lineage_kept") != zero("output_kept"))
+        | (
+            F.col("lineage_checksum").isNotNull()
+            & F.col("output_checksum").isNotNull()
+            & (F.col("lineage_checksum") != F.col("output_checksum"))
+        )
+    )
+
+
 def _path_exists(spark: SparkSession, path: str) -> bool:
     """Existence check through the Hadoop FileSystem API so it works
     for ANY storage URI (hdfs://, s3a://, file:, plain local) — a bare

@@ -140,3 +140,51 @@ def test_path_exists_handles_uri_schemes(spark, tmp_path):
     p.mkdir()
     assert _path_exists(spark, f"file://{p}")
     assert _path_exists(spark, str(p))
+
+
+def test_audit_lineage_sound_and_detects_divergence(spark, paths, tmp_path):
+    """audit_lineage is the operator-facing books check: empty after
+    an honest run (including a resume that appended a snapshot), and
+    it names the bucket when output and metrics tables diverge."""
+    import pyspark.sql.functions as F
+
+    from lgid_spark.lineage import audit_lineage
+
+    out, metrics = paths
+    pages = spark_web_pages(spark, N)
+    run_incremental(spark, pages, out, metrics, "snap1", N_BUCKETS)
+    assert audit_lineage(spark, out, metrics).count() == 0
+
+    # resume over an EXTENDED input appends a second snapshot; the
+    # combined books must still audit clean
+    more = spark_web_pages(spark, N + 64).join(
+        pages.select("url"), "url", "left_anti")
+    run_incremental(spark, more, out, metrics, "snap2", N_BUCKETS)
+    assert audit_lineage(spark, out, metrics).count() == 0
+
+    # tamper with the OUTPUT (drop one bucket partition dir wholesale —
+    # the crash-between-writes shape): audit must flag exactly that
+    # bucket with both sides of the count
+    victim = spark.read.parquet(out).groupBy("bucket").count() \
+        .orderBy("bucket").first()
+    shutil.rmtree(f"{out}/bucket={victim['bucket']}")
+    bad = audit_lineage(spark, out, metrics).collect()
+    assert [r["bucket"] for r in bad] == [victim["bucket"]]
+    assert bad[0]["output_rows"] is None
+    assert bad[0]["lineage_rows"] == victim["count"]
+
+    # tamper with a VALUE (flip one keep flag via rewrite of one
+    # bucket): counts still reconcile row-wise but kept/checksum don't
+    out2, metrics2 = str(tmp_path / "out2"), str(tmp_path / "m2")
+    run_incremental(spark, pages, out2, metrics2, "snap1", N_BUCKETS)
+    df = spark.read.parquet(out2)
+    b0 = df.first()["bucket"]
+    rewrite = df.where(F.col("bucket") == b0).withColumn(
+        "keep", ~F.col("keep")).drop("bucket").persist()
+    rewrite.count()
+    shutil.rmtree(f"{out2}/bucket={b0}")
+    rewrite.write.parquet(f"{out2}/bucket={b0}")
+    bad2 = audit_lineage(spark, out2, metrics2).collect()
+    assert [r["bucket"] for r in bad2] == [b0]
+    assert bad2[0]["lineage_rows"] == bad2[0]["output_rows"]
+    assert bad2[0]["lineage_kept"] != bad2[0]["output_kept"]
