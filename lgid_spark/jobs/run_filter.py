@@ -77,6 +77,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="LSH hot-bucket cap: band values shared by "
                          "more docs are excluded from candidate "
                          "generation (viral-template guard; 0 disables)")
+    ap.add_argument("--audit", action="store_true",
+                    help="after the run, cross-check the output table "
+                         "against the committed lineage "
+                         "(lineage.audit_lineage: per-bucket counts, "
+                         "kept counts, checksums across all "
+                         "snapshots); summary gains audit_ok and, on "
+                         "divergence, the first few bad buckets")
     ap.add_argument("--blocklist", default=None,
                     help="text file of blocked hosts (one per line, # "
                          "comments ok); blocked rows get keep=false + a "
@@ -142,8 +149,17 @@ def main(argv: list[str] | None = None) -> int:
         trust_url_canon=trust_url_canon,
         stage_path=args.near_dup_stage)
     res.update({"snapshot_id": snapshot, "sec": round(time.time() - t0, 2)})
+    rc = 0
+    if args.audit:
+        from lgid_spark.lineage import audit_lineage
+
+        bad = audit_lineage(spark, args.output, args.metrics).limit(5).collect()
+        res["audit_ok"] = not bad
+        if bad:
+            res["audit_bad_buckets"] = [r.asDict() for r in bad]
+            rc = 2
     print(json.dumps(res))
-    return 0
+    return rc
 
 
 if __name__ == "__main__":
