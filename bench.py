@@ -393,10 +393,15 @@ def main() -> None:
               f"gate — possible degraded host; settling {settle:.0f}s "
               "and retrying once", file=sys.stderr)
         time.sleep(settle)
-        q2, c2 = _queries_probe(cpus, sf_dir)
-        cold_attempts.append(c2)
-        if c2 < cold_total:
-            queries, cold_total = q2, c2
+        try:
+            q2, c2 = _queries_probe(cpus, sf_dir)
+        except Exception as exc:  # a failed retry must not kill the run
+            print(f"bench: fresh-JVM retry failed ({exc}); keeping the "
+                  "first attempt", file=sys.stderr)
+        else:
+            cold_attempts.append(c2)
+            if c2 < cold_total:
+                queries, cold_total = q2, c2
     degraded = cold_total > cold_gate
     print("bench: " + (
         f"DEGRADED HOST (cold pass {cold_total:.1f}s > {cold_gate:.0f}s "
