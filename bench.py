@@ -341,7 +341,8 @@ def _queries_probe(cpus: int, sf_dir: str) -> tuple[dict[str, float], float]:
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--queries-only"],
         capture_output=True, text=True, check=True, env=env,
-        cwd=os.path.dirname(os.path.abspath(__file__)))
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        timeout=float(os.environ.get("BENCH_RETRY_TIMEOUT_SEC", "1800")))
     d = json.loads(out.stdout.strip().splitlines()[-1])
     return d["queries"], d["cold"]
 
@@ -392,6 +393,11 @@ def main() -> None:
         print(f"bench: cold pass {cold_total:.1f}s > {cold_gate:.0f}s "
               f"gate — possible degraded host; settling {settle:.0f}s "
               "and retrying once", file=sys.stderr)
+        # stop THIS session's JVM first: the retry must not be measured
+        # against a second live local[cpus] JVM holding its heap and
+        # executor threads (it would bias the retry to re-fail the gate
+        # on exactly the memory-pressured host this path targets)
+        spark.stop()
         time.sleep(settle)
         try:
             q2, c2 = _queries_probe(cpus, sf_dir)
@@ -402,6 +408,8 @@ def main() -> None:
             cold_attempts.append(c2)
             if c2 < cold_total:
                 queries, cold_total = q2, c2
+        spark = _fresh_spark(cpus)
+        spark.range(1000).count()
     degraded = cold_total > cold_gate
     print("bench: " + (
         f"DEGRADED HOST (cold pass {cold_total:.1f}s > {cold_gate:.0f}s "

@@ -89,6 +89,11 @@ def main(argv: list[str] | None = None) -> int:
                          "comments ok); blocked rows get keep=false + a "
                          "'blocked_domain' drop reason")
     args = ap.parse_args(argv)
+    if args.near_dup_stage and not args.near_dup:
+        # stage_path is only consumed inside the near-dup branch;
+        # silently ignoring it would leave the operator without the
+        # staged dedup table they asked for
+        ap.error("--near-dup-stage requires --near-dup")
 
     from lgid_spark.session import get_submit_spark
 

@@ -126,16 +126,30 @@ def audit_lineage(
     non-null checksums per bucket collapses them correctly. The
     comparison is one shuffle per side on the low-cardinality bucket
     key; the output-side scan reads only (bucket, url, keep,
-    scrubbed_text)."""
+    scrubbed_text). A path that was never created (a run whose rows
+    all vanished before the write) counts as an empty table, so a
+    missing output with committed lineage reports every lineage
+    bucket — and nothing-vs-nothing is sound."""
+    if not _path_exists(spark, metrics_path):
+        lin_src = spark.createDataFrame(
+            [], "bucket int, input_count long, kept_count long, "
+                "checksum bigint")
+    else:
+        lin_src = spark.read.parquet(metrics_path)
     lin = (
-        spark.read.parquet(metrics_path)
+        lin_src
         .groupBy("bucket").agg(
             F.sum("input_count").alias("lineage_rows"),
             F.sum("kept_count").alias("lineage_kept"),
             F.expr("bit_xor(checksum)").alias("lineage_checksum"),
         )
     )
-    out = spark.read.parquet(output_path)
+    if not _path_exists(spark, output_path):
+        out = spark.createDataFrame(
+            [], "bucket int, url string, keep boolean, "
+                "scrubbed_text string")
+    else:
+        out = spark.read.parquet(output_path)
     if "scrubbed_text" not in out.columns:
         # labels-only output cannot reproduce the url||scrubbed_text
         # fold — audit counts only
@@ -341,9 +355,20 @@ def run_incremental(
         loser_dd = (
             (F.sum(F.col("dup_count") - 1) if dedup else F.lit(0))
             .cast("long").alias("loser_dedup_dropped"))
-        enriched = (losers.join(staged.select(
+        # only losers whose OWN bucket is uncommitted are new to the
+        # books: a loser sitting in a committed bucket was already
+        # accounted in the snapshot that committed it — processed (its
+        # row stays in the append-only output) or dropped — and
+        # re-counting it on every later resume (near_dup_losers re-runs
+        # over the FULL input whenever any bucket is uncommitted) would
+        # inflate near_dup_dropped without bound. The output anti-join
+        # below still removes ALL losers; committed buckets are never
+        # rewritten anyway (the todo anti-join).
+        countable = losers.join(F.broadcast(done_probe), "bucket",
+                                "left_anti")
+        enriched = (countable.join(staged.select(
             "url", *(["dup_count"] if dedup else [])), "url")
-            if dedup else losers)
+            if dedup else countable)
         nd_counts = enriched.groupBy(
             F.col("canon_bucket").alias("bucket")).agg(
             F.count("*").alias("near_dup_dropped"), loser_dd)

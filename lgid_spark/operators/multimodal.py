@@ -202,11 +202,19 @@ def _video_codec():
         import imageio.v3 as iio
 
         def _iio_frames(payload: bytes):
-            meta = iio.immeta(payload, plugin="pyav")
+            # no plugin pin: this branch runs exactly when PyAV is NOT
+            # importable, so pinning plugin="pyav" would guarantee a
+            # call-time ImportError — let imageio resolve whatever
+            # video backend it ships (e.g. imageio-ffmpeg)
+            meta = iio.immeta(payload)
             fps = float(meta.get("fps") or 0.0) or 25.0
-            for i, frame in enumerate(iio.imiter(payload, plugin="pyav")):
-                yield (int(i * 1000 / fps),
-                       iio.imwrite("<bytes>", frame, extension=".png"))
+            for i, frame in enumerate(iio.imiter(payload)):
+                try:
+                    data = iio.imwrite("<bytes>", frame, extension=".png")
+                except Exception:
+                    # no still-image backend for PNG: raw pixel bytes
+                    data = frame.tobytes()
+                yield int(i * 1000 / fps), data
 
         return _iio_frames
     except ImportError:

@@ -551,3 +551,44 @@ def test_staged_near_dup_plans(spark, tmp_path):
     # the (heavy) html column, the UDF pass does not read text
     assert "html" not in plan_of(consumers["losers"])
     assert "text" not in plan_of(consumers["udf_pass"])
+
+
+def test_near_dup_resume_does_not_recount_old_losers(spark, tmp_path):
+    """Review r5: near_dup_losers re-runs over the FULL input whenever
+    ANY bucket is uncommitted, so a later extension (snap3, one
+    unrelated new doc) re-discovers snap2's loser. Its drop was
+    recorded when its own bucket committed in snap2 — it must NOT be
+    appended again, or near_dup_dropped inflates on every resume."""
+    out, metrics = str(tmp_path / "out"), str(tmp_path / "metrics")
+    base = [_page_row(_CANON_URL, 1, _SHARED_TEXT)]
+    run_incremental(spark, _pages_df(spark, base), out, metrics,
+                    "snap1", N_BUCKETS, near_dup=True)
+    b_canon = _bucket_of(spark, _CANON_URL)
+    loser_url, b_loser = _fresh_bucket_url(
+        spark, "https://site.example/copy/zz%d", {b_canon})
+    ext2 = base + [_page_row(loser_url, 5, _SHARED_TEXT)]
+    run_incremental(spark, _pages_df(spark, ext2), out, metrics,
+                    "snap2", N_BUCKETS, near_dup=True)
+
+    # snap3: ONLY an unrelated doc in a fresh bucket is new — the old
+    # loser is re-found by the chain but its drop is already on the
+    # books (snap2's counts-only row on the canon bucket)
+    other_url, _ = _fresh_bucket_url(
+        spark, "https://other.example/doc/%d", {b_canon, b_loser})
+    other_text = " ".join("completely different words %d" % k
+                          for k in range(25))
+    ext3 = ext2 + [_page_row(other_url, 7, other_text)]
+    res3 = run_incremental(spark, _pages_df(spark, ext3), out, metrics,
+                           "snap3", N_BUCKETS, near_dup=True)
+    assert res3["processed_rows"] == 1  # just the unrelated doc
+
+    lin = spark.read.parquet(metrics)
+    agg = lin.agg(F.sum("input_count").alias("n"),
+                  F.sum("dedup_dropped").alias("dd"),
+                  F.sum("near_dup_dropped").alias("nd")).collect()[0]
+    # 3 rows ever offered = 2 processed + 1 near-dup drop, EXACTLY once
+    assert (agg["n"], agg["dd"], agg["nd"]) == (2, 0, 1)
+    # no snap3 row re-attributes the old drop to the canon bucket
+    snap3_canon = lin.where((F.col("snapshot_id") == "snap3")
+                            & (F.col("bucket") == b_canon)).collect()
+    assert snap3_canon == []
