@@ -56,9 +56,23 @@ def extract_text(html: bytes) -> str:
     # the hot spot of extraction profiling). Per-line strip() still
     # runs per line (it also trims unicode spaces like the \xa0 that
     # unescape introduces, which _WS deliberately leaves inside lines).
-    s = _WS.sub(" ", s)
-    return "\n".join(
-        line for line in (raw.strip() for raw in s.split("\n")) if line)
+    # whitespace collapse: when the only horizontal whitespace is the
+    # space character (no \t\r\f\v — the common case for decoded HTML),
+    # `[ \t\r\f\v]+` → " " degenerates to collapsing space runs, which
+    # repeated C-speed replace("  ", " ") does identically (each pass
+    # halves run lengths; a fixpoint has no "  " left) — measured ~5×
+    # faster than the regex scan. Otherwise keep the regex.
+    if "\t" not in s and "\r" not in s and "\f" not in s and "\v" not in s:
+        n = len(s) + 1
+        while len(s) < n:
+            n = len(s)
+            s = s.replace("  ", " ")
+    else:
+        s = _WS.sub(" ", s)
+    # C-speed tail: map(str.strip) ≡ raw.strip() per line and
+    # filter(None) ≡ `if line` — byte-identical to the genexpr pair it
+    # replaces, without two Python generator frames per line (r6 §4.2)
+    return "\n".join(filter(None, map(str.strip, s.split("\n"))))
 
 
 # ---------------------------------------------------------------------------
@@ -201,6 +215,7 @@ _SYMBOLS = set("@#$%^&*+=<>~|{}[]\\")
 # NB: measured — per-symbol str.count (memchr) beats one str.translate
 # pass (per-char dict lookup) ~1.2× on these text sizes; keep count()
 _SYMBOL_LIST = sorted(_SYMBOLS)
+_SYM_DELETE = "".join(_SYMBOL_LIST).encode("ascii")
 # per-language stopword sets hoisted out of the per-document loop
 _STOPSETS = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
 _EMPTY_STOPSET: frozenset = frozenset()
@@ -274,6 +289,7 @@ SCRUB_CHAIN: list[tuple[re.Pattern, str]] = [
 
 _DIGITS = "0123456789"
 _TOXIC_WORDS_LOWER = tuple(w.lower() for w in TOXIC_LEXICON)
+_HAS_DIGIT = re.compile(r"\d")  # same \d class SSN_RE/PHONE_RE require
 
 
 def scrub_text(text: str) -> str:
@@ -281,29 +297,36 @@ def scrub_text(text: str) -> str:
     # output identical to the unguarded chain (measured: scrub was ~47%
     # of process_batch, and 6/7 synthetic docs are digit-free):
     #   '@'      — EMAIL_RE requires a literal '@';
-    #   digits   — SSN_RE/PHONE_RE both require \d;
-    #   lexicon  — for ASCII text, any TOXIC_RE (IGNORECASE, \b-bounded
-    #              ASCII words) match implies lowercase containment of
-    #              some lexicon word (containment is a superset: no
-    #              word boundaries). Non-ASCII text skips the guard —
-    #              sre's 1-1 case table can match chars (e.g. U+0130)
-    #              whose str.lower() is multi-char, so containment is
-    #              not a safe proxy there.
+    #   digits   — SSN_RE/PHONE_RE both require \d: ASCII text uses the
+    #              memchr scan over '0'-'9'; non-ASCII text a single
+    #              \d search (the SAME class the patterns need, so a
+    #              no-hit provably implies both subs are identities —
+    #              r6: previously every non-ASCII doc paid both scans);
+    #   lexicon  — TOXIC_RE (IGNORECASE, \b-bounded words) matching
+    #              implies lowercase containment of some lexicon word
+    #              whenever str.lower() is length-preserving: then
+    #              every char lowercases 1-1, so full-lower == sre's
+    #              simple-case table per char and positions align
+    #              (containment is a superset: no word boundaries).
+    #              Length-CHANGING lower (e.g. U+0130 → 'i'+combining
+    #              dot) breaks the alignment, so such text skips the
+    #              guard and pays the sub (r6: the guard previously
+    #              required isascii(), leaving every accented doc
+    #              unguarded).
     if "@" in text:
         text = EMAIL_RE.sub("<EMAIL>", text)
-    is_ascii = text.isascii()
-    if not is_ascii or any(d in text for d in _DIGITS):
+    if text.isascii():
+        has_digit = any(d in text for d in _DIGITS)
+    else:
+        has_digit = _HAS_DIGIT.search(text) is not None
+    if has_digit:
         text = SSN_RE.sub("<SSN>", text)
         text = PHONE_RE.sub("<PHONE>", text)
-    if is_ascii:
-        # hoist the lowercase copy OUT of the any() — a generator
-        # re-evaluates text.lower() per lexicon word, allocating
-        # len(lexicon) full copies of the document on the common
-        # no-match path
-        lowered = text.lower()
-        if any(w in lowered for w in _TOXIC_WORDS_LOWER):
-            text = TOXIC_RE.sub("<TOX>", text)
-    else:
+    # hoist the lowercase copy OUT of the any() — a generator
+    # re-evaluates text.lower() per lexicon word otherwise
+    lowered = text.lower()
+    if len(lowered) != len(text) or any(
+            w in lowered for w in _TOXIC_WORDS_LOWER):
         text = TOXIC_RE.sub("<TOX>", text)
     return text
 
@@ -321,78 +344,164 @@ def scrub_text(text: str) -> str:
 def process_batch(texts, model: "LangIDModel",
                   emit_extracted: bool = True,
                   emit_scrubbed: bool = True) -> list[dict]:
-    """Fused per-text scoring. The emit flags drop the two TEXT fields
-    from the output dicts — the Arrow-volume levers for the fused UDF
-    (a metrics/keep-only consumer pays for ints+doubles instead of
-    shipping the full document text back JVM-side); emit_scrubbed=False
-    additionally skips the scrub regex work itself."""
-    return _process_batch_impl(texts, model, emit_extracted, emit_scrubbed)
+    """Fused per-text scoring (row-dict view of process_batch_columns —
+    kept for the oracle/tests and the bench's frequency probe). The emit
+    flags drop the two TEXT fields from the output — the Arrow-volume
+    levers for the fused UDF; emit_scrubbed=False additionally skips the
+    scrub regex work itself."""
+    cols = process_batch_columns(texts, model, emit_extracted, emit_scrubbed)
+    py = {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+          for k, v in cols.items()}
+    keys = list(py)
+    return [{k: py[k][i] for k in keys} for i in range(len(texts))]
 
 
-def _process_batch_impl(texts, model, emit_extracted, emit_scrubbed):
-    # one cache keyed by the RAW word: (normalized form, bucket array)
-    # — a single dict hit per token covers normalization AND hashing
-    word_cache: dict[str, tuple[str, "np.ndarray | None"]] = {}
+# Module-level word cache: (normalized form, bucket array) keyed by the
+# RAW word — a pure function of the word, so a reused Python worker
+# (spark.python.worker.reuse, the default) keeps it warm ACROSS Arrow
+# batches and tasks instead of re-hashing the Zipf head per batch
+# (guide §4.5: heavyweight state once per task, cached per process).
+# Bounded so open-vocabulary crawl text cannot grow it without limit.
+_WORD_CACHE: dict[str, tuple[str, "np.ndarray | None"]] = {}
+_WORD_CACHE_MAX = 1 << 20
+
+
+def process_batch_columns(texts, model: "LangIDModel",
+                          emit_extracted: bool = True,
+                          emit_scrubbed: bool = True) -> dict:
+    """Columnar twin of process_batch — the Spark fused UDF's entry
+    point (pd.DataFrame(dict-of-columns) skips per-row dict inference).
+
+    Numerically BIT-IDENTICAL to the historical per-row implementation
+    (pinned by tests/test_oracle_internal-style parity + the golden
+    VALUES oracles): the per-doc pairwise float32 `logp[b].sum(axis=0)`
+    is kept per doc (its summation order is load-bearing), while the
+    softmax/argmax/ppl tail — elementwise float32 ops — is batched
+    across docs (verified elementwise-equal; ~25 µs/doc of numpy call
+    overhead removed)."""
+    word_cache = _WORD_CACHE
+    if len(word_cache) > _WORD_CACHE_MAX:
+        word_cache.clear()
     wc_get = word_cache.get
-    empty = np.asarray([], dtype=np.int64)
-    out = []
-    for text in texts:
+    logp = model.logp
+    langs = model.langs
+    n_langs = len(langs)
+    n = len(texts)
+    sums = np.zeros((n, n_langs), dtype=np.float32)
+    sizes = np.zeros(n, dtype=np.int64)
+    n_words_a = np.empty(n, dtype=np.int64)
+    n_chars_a = np.empty(n, dtype=np.int64)
+    mean_line_len = np.empty(n, dtype=np.float64)
+    sym_ratio = np.empty(n, dtype=np.float64)
+    rep_ratio = np.empty(n, dtype=np.float64)
+    normed_all: list = [None] * n
+    texts_out: list = [None] * n
+    for i, text in enumerate(texts):
         text = text or ""
-        words = tokenize(text)
-        normed = []
-        arrs = []
-        napp = normed.append
-        aapp = arrs.append
-        for w in words:
-            hit = wc_get(w)
-            if hit is None:
-                nw = norm_word(w)
-                a = (
-                    np.asarray([_bucket(g) for g in _grams(nw)], dtype=np.int64)
-                    if nw else None
-                )
-                hit = (nw, a)
-                word_cache[w] = hit
-            nw, a = hit
-            napp(nw)
-            if a is not None:
-                aapp(a)
-        b = np.concatenate(arrs) if arrs else empty
-        lang_pred, conf, ppl = model._score_buckets(b)
-
+        texts_out[i] = text
+        words = text.split()
+        pairs = list(map(wc_get, words))
+        if None in pairs:
+            for j, hit in enumerate(pairs):
+                if hit is None:
+                    w = words[j]
+                    nw = norm_word(w)
+                    a = (
+                        np.asarray([_bucket(g) for g in _grams(nw)],
+                                   dtype=np.int64)
+                        if nw else None
+                    )
+                    hit = (nw, a)
+                    word_cache[w] = hit
+                    pairs[j] = hit
+        normed_all[i] = [h[0] for h in pairs]
+        arrs = [a for _, a in pairs if a is not None]
+        if arrs:
+            b = np.concatenate(arrs)
+            sizes[i] = b.size
+            # pairwise float32 sum per doc — summation order pinned
+            sums[i] = logp[b].sum(axis=0)
         n_words = len(words)
+        n_words_a[i] = n_words
         n_chars = len(text)
-        lines = text.split("\n") if text else []
-        mean_line_len = (
-            sum(len(ln) for ln in lines) / len(lines)) if lines else 0.0
-        n_sym = sum(text.count(c) for c in _SYMBOL_LIST)
-        symbol_word_ratio = n_sym / n_words if n_words else 0.0
-        stops = _STOPSETS.get(lang_pred, _EMPTY_STOPSET)
-        n_stop = sum(map(stops.__contains__, normed))  # C-speed membership
-        stopword_ratio = n_stop / n_words if n_words else 0.0
+        n_chars_a[i] = n_chars
+        if text:
+            # sum(len(line)) == n_chars - n_newlines exactly, and
+            # len(lines) == n_newlines + 1: same ints, same division
+            nl = text.count("\n")
+            mean_line_len[i] = (n_chars - nl) / (nl + 1)
+        else:
+            mean_line_len[i] = 0.0
+        if n_words:
+            # one C pass: every symbol is a single ASCII byte, and in
+            # UTF-8 an ASCII byte value only ever encodes that ASCII
+            # char, so deleting symbol bytes from the encoded text
+            # counts exactly what the 19 str.count scans counted
+            bs = text.encode("utf-8", "surrogatepass")
+            n_sym = len(bs) - len(bs.translate(None, _SYM_DELETE))
+            sym_ratio[i] = n_sym / n_words
+        else:
+            sym_ratio[i] = 0.0
         if n_words >= 3:
             trigrams = set(zip(words, words[1:], words[2:]))
-            repetition_ratio = 1.0 - len(trigrams) / (n_words - 2)
+            rep_ratio[i] = 1.0 - len(trigrams) / (n_words - 2)
         else:
-            repetition_ratio = 0.0
-        row = {}
-        if emit_extracted:
-            row["extracted_text"] = text
-        row.update({
-            "lang_pred": lang_pred,
-            "langid_conf": conf,
-            "ppl": ppl,
-            "n_chars": n_chars,
-            "n_words": n_words,
-            "mean_line_len": mean_line_len,
-            "symbol_word_ratio": symbol_word_ratio,
-            "stopword_ratio": stopword_ratio,
-            "repetition_ratio": repetition_ratio,
-        })
+            rep_ratio[i] = 0.0
+
+    # ---- vectorized scoring tail (elementwise ≡ _score_buckets) ----
+    denom = np.maximum(sizes, 1).astype(np.float32)
+    mean = sums / denom[:, None]
+    z = mean - mean.max(axis=1, keepdims=True)
+    scale = np.minimum(sizes, 50).astype(np.float32)
+    p = np.exp(z * scale[:, None])
+    # n_langs < 8: numpy's 1-D pairwise sum is plain sequential there,
+    # so a left-to-right column chain reproduces p.sum() bit-for-bit
+    s = p[:, 0].copy()
+    for k in range(1, n_langs):
+        s += p[:, k]
+    p /= s[:, None]
+    li = p.argmax(axis=1)
+    rows = np.arange(n)
+    conf = p[rows, li].astype(np.float64)
+    ppl = np.exp(-mean[rows, li]).astype(np.float64)
+    lang_pred = [langs[k] for k in li]
+    if n and not sizes.all():
+        empty_conf = 1.0 / n_langs
+        lang0 = langs[0]
+        for i in np.flatnonzero(sizes == 0):
+            conf[i] = empty_conf
+            ppl[i] = float("inf")
+            lang_pred[i] = lang0
+
+    # ---- second pass: lang-dependent stopword ratio + scrub ----
+    stop_ratio = np.empty(n, dtype=np.float64)
+    scrubbed: list | None = [None] * n if emit_scrubbed else None
+    sget = _STOPSETS.get
+    for i in range(n):
+        nw = n_words_a[i]
+        if nw:
+            stops = sget(lang_pred[i], _EMPTY_STOPSET)
+            stop_ratio[i] = sum(map(stops.__contains__, normed_all[i])) / nw
+        else:
+            stop_ratio[i] = 0.0
         if emit_scrubbed:
-            row["scrubbed_text"] = scrub_text(text)
-        out.append(row)
-    return out
+            scrubbed[i] = scrub_text(texts_out[i])
+
+    cols: dict = {}
+    if emit_extracted:
+        cols["extracted_text"] = texts_out
+    cols["lang_pred"] = lang_pred
+    cols["langid_conf"] = conf
+    cols["ppl"] = ppl
+    cols["n_chars"] = n_chars_a
+    cols["n_words"] = n_words_a
+    cols["mean_line_len"] = mean_line_len
+    cols["symbol_word_ratio"] = sym_ratio
+    cols["stopword_ratio"] = stop_ratio
+    cols["repetition_ratio"] = rep_ratio
+    if emit_scrubbed:
+        cols["scrubbed_text"] = scrubbed
+    return cols
 
 
 # ---------------------------------------------------------------------------

@@ -243,7 +243,8 @@ def make_process_html_udf(spark: SparkSession,
     def process_html_udf(html: pd.Series) -> pd.DataFrame:
         m = R.LangIDModel.from_weights(*bc.value)
         texts = [R.extract_text(h) for h in html]
-        return pd.DataFrame(R.process_batch(
+        # dict-of-columns construction: no per-row dict inference
+        return pd.DataFrame(R.process_batch_columns(
             texts, m, emit_extracted=emit_extracted,
             emit_scrubbed=emit_scrubbed))
 
