@@ -68,6 +68,49 @@ def morph_ngrams_col(text, n: int):
     )
 
 
+def _exploded_char_ngrams(corpus: DataFrame, text_col: str, lang_col: str,
+                          n: int) -> DataFrame:
+    """(lang_code, ngram) rows ≡ explode(char_ngrams_col(text, n)) —
+    restructured as TWO row-level explodes (words, then positions) so
+    the whole pass stays in whole-stage codegen instead of evaluating a
+    nested interpreted transform/flatten lambda per document (r6; the
+    gram multiset is unchanged: the padded word and the position range
+    are the same expressions per word)."""
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"(?U)\s+"),
+        lambda w: w != F.lit(""))
+    w = corpus.select(
+        F.col(lang_col).alias("lang_code"), F.explode(words).alias("_w"))
+    w = w.select(
+        "lang_code",
+        F.concat(F.lit(" "), F.col("_w"), F.lit(" ")).alias("_pw"))
+    pos = F.sequence(
+        F.lit(1), F.greatest(F.length("_pw") - n + 1, F.lit(1)))
+    g = w.select("lang_code", "_pw", F.explode(pos).alias("_i"))
+    return g.select(
+        "lang_code",
+        F.col("_pw").substr(F.col("_i"), F.lit(n)).alias("ngram"))
+
+
+def _exploded_pos_ngrams(corpus: DataFrame, text_col: str, lang_col: str,
+                         n: int, split_re: str) -> DataFrame:
+    """(lang_code, ngram) rows ≡ explode(word_ngrams_col / morph_
+    ngrams_col): explode gram start positions per document, then join
+    the n tokens — same codegen rationale as _exploded_char_ngrams."""
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), split_re), lambda w: w != F.lit(""))
+    d = corpus.select(
+        F.col(lang_col).alias("lang_code"), toks.alias("_ws"))
+    g = d.select(
+        "lang_code", "_ws",
+        F.explode(_gram_positions(F.size("_ws"), n)).alias("_i"))
+    return g.select(
+        "lang_code",
+        F.concat_ws(
+            " ", *[F.element_at("_ws", F.col("_i") + k) for k in range(n)]
+        ).alias("ngram"))
+
+
 def build_lm_ngrams(
     corpus: DataFrame,
     text_col: str = "text",
@@ -79,20 +122,17 @@ def build_lm_ngrams(
     """corpus(lang, text) → lm_ngrams(lang_code, gram_type, ngram, count).
     Reference gram sizes (config.ini:24-26): char 3, word 1, morpheme 2 —
     pass word_n=1, morph_n=2 to build the feature-path ODIN LM."""
-    t = F.col(text_col)
     parts = []
-    for gram_type, col in (
-        ("char", char_ngrams_col(t, char_n)),
-        ("word", word_ngrams_col(t, word_n)),
-        ("morph", morph_ngrams_col(t, word_n if morph_n is None else morph_n)),
+    for gram_type, part in (
+        ("char", _exploded_char_ngrams(corpus, text_col, lang_col, char_n)),
+        ("word", _exploded_pos_ngrams(
+            corpus, text_col, lang_col, word_n, r"(?U)\s+")),
+        ("morph", _exploded_pos_ngrams(
+            corpus, text_col, lang_col,
+            word_n if morph_n is None else morph_n, r"[\s\-=+]+")),
     ):
-        parts.append(
-            corpus.select(
-                F.col(lang_col).alias("lang_code"),
-                F.lit(gram_type).alias("gram_type"),
-                F.explode(col).alias("ngram"),
-            )
-        )
+        parts.append(part.select(
+            "lang_code", F.lit(gram_type).alias("gram_type"), "ngram"))
     stacked = parts[0]
     for p in parts[1:]:
         stacked = stacked.unionByName(p)
@@ -209,13 +249,27 @@ def lm_match_ratio(df: DataFrame, lm: DataFrame, text_col: str, lang_col: str,
     """A6/J3: fraction of a row's char n-grams present in the LM for its
     language (features.py:337-354 LM-match ratio, membership-only like
     util.py:103-111). Left-semi join on (lang, ngram), counts ÷ total."""
-    grams = df.withColumn(
+    base = df.withColumn(
         "_rid", F.monotonically_increasing_id()  # per source row, pre-explode
-    ).select(
-        F.col(lang_col).alias("lang_code"),
-        "_rid",
-        F.explode(char_ngrams_col(F.col(text_col), char_n)).alias("ngram"),
     )
+    # two codegen explodes ≡ explode(char_ngrams_col(...)) — see
+    # _exploded_char_ngrams (r6)
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"(?U)\s+"),
+        lambda w: w != F.lit(""))
+    w = base.select(
+        F.col(lang_col).alias("lang_code"), "_rid",
+        F.explode(words).alias("_w"),
+    ).select(
+        "lang_code", "_rid",
+        F.concat(F.lit(" "), F.col("_w"), F.lit(" ")).alias("_pw"))
+    pos = F.sequence(
+        F.lit(1), F.greatest(F.length("_pw") - char_n + 1, F.lit(1)))
+    grams = w.select(
+        "lang_code", "_rid", "_pw", F.explode(pos).alias("_i")
+    ).select(
+        "lang_code", "_rid",
+        F.col("_pw").substr(F.col("_i"), F.lit(char_n)).alias("ngram"))
     # ONE pass over grams: a left join against the deduped LM marks
     # each gram, and a single aggregate computes total and hits
     # together. The previous totals⋈hits shape evaluated the uncached

@@ -144,15 +144,36 @@ def _is_title(raw: str) -> bool:
     return False
 
 
+# process-level memo of the pure per-token derivation (norm, relative
+# core span, is_title) — web token vocabularies are Zipfian, and the
+# NFKD + combining-mark scan + two regex searches per token were the
+# matcher's dominant per-row cost (r6; same bounded-pure-cache pattern
+# as oracle.reference._WORD_CACHE)
+_TOKEN_CACHE: dict[str, tuple[str, int, int, bool]] = {}
+_TOKEN_CACHE_MAX = 1 << 20
+
+
+def _tok_props(raw: str) -> tuple[str, int, int, bool]:
+    hit = _TOKEN_CACHE.get(raw)
+    if hit is None:
+        if len(_TOKEN_CACHE) > _TOKEN_CACHE_MAX:
+            _TOKEN_CACHE.clear()
+        nt = _norm_token(raw)
+        lo, hi = _core_span(raw, 0)
+        hit = (nt, lo, hi, _is_title(raw))
+        _TOKEN_CACHE[raw] = hit
+    return hit
+
+
 def _line_tokens(line: str) -> list[tuple[str, int, int, bool]]:
     """(normalized_token, core_startcol, core_endcol, is_title) per raw
     token; is_title = first alphabetic char is uppercase (P6)."""
     out = []
     for m in _TOKEN_RE.finditer(line):
-        nt = _norm_token(m.group())
+        nt, lo, hi, ti = _tok_props(m.group())
         if nt:
-            lo, hi = _core_span(m.group(), m.start())
-            out.append((nt, lo, hi, _is_title(m.group())))
+            s = m.start()
+            out.append((nt, s + lo, s + hi, ti))
     return out
 
 
@@ -324,6 +345,7 @@ def extract_mentions(
     lang_table: dict[str, list[str]],
     single_longest: bool = False,
     capitalization: str = "any",
+    single_line: bool = False,
 ) -> DataFrame:
     """lines(doc_id, lineno, text) → mentions DataFrame.
 
@@ -331,22 +353,38 @@ def extract_mentions(
     shuffle on doc_id, which a bucketed lines table avoids entirely);
     after that every row is independent, so the matcher runs as a
     mapInPandas over (lineno, text, next_text) with the name table
-    broadcast once per executor."""
+    broadcast once per executor.
+
+    ``single_line=True`` (r6): callers that construct one-line-per-doc
+    frames (e.g. the document-grain mention queries) declare it so the
+    lead() window — a full shuffle+sort whose lead() is null on every
+    single-row partition — is skipped; the matcher sees the identical
+    (next=null) input it would have computed."""
     table = NameTable(lang_table)
     bc = spark.sparkContext.broadcast(table)
 
     has_block = "block_id" in lines_df.columns
-    w = Window.partitionBy("doc_id").orderBy("lineno")
-    cols = [
-        "doc_id", "lineno", "text",
-        F.lead("lineno").over(w).alias("next_lineno"),
-        F.lead("text").over(w).alias("next_text"),
-    ]
-    if has_block:
-        # the splice must not pair lines across Freki blocks — the
-        # reference walks `block.lines` (analyzers.py:80)
-        cols += ["block_id",
-                 F.lead("block_id").over(w).alias("next_block_id")]
+    if single_line:
+        cols = [
+            "doc_id", "lineno", "text",
+            F.lit(None).cast("int").alias("next_lineno"),
+            F.lit(None).cast("string").alias("next_text"),
+        ]
+        if has_block:
+            cols += ["block_id",
+                     F.lit(None).cast("string").alias("next_block_id")]
+    else:
+        w = Window.partitionBy("doc_id").orderBy("lineno")
+        cols = [
+            "doc_id", "lineno", "text",
+            F.lead("lineno").over(w).alias("next_lineno"),
+            F.lead("text").over(w).alias("next_text"),
+        ]
+        if has_block:
+            # the splice must not pair lines across Freki blocks — the
+            # reference walks `block.lines` (analyzers.py:80)
+            cols += ["block_id",
+                     F.lead("block_id").over(w).alias("next_block_id")]
     paired = lines_df.select(*cols)
 
     def run(batches: Iterator) -> Iterator:

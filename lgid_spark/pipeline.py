@@ -483,6 +483,9 @@ def near_dup_losers(
     are already co-located in its row). Only the exact-Jaccard verify
     explodes words, because intersecting two docs' sets genuinely
     needs word-grain rows."""
+    # function-local import: lgid_spark.functions.__init__ re-exports
+    # from THIS module, so a top-level import would be circular
+    from .functions.texthash import make_minhash_udf
     from .operators.components import connected_components
 
     def _word_hash(k: int):
@@ -493,12 +496,17 @@ def near_dup_losers(
     words_arr = F.array_distinct(_page_words(F.col("text")))
     # whitespace-only docs have no shingles and can never be near-dups;
     # without this filter their NULL minhashes would all collide into
-    # one giant all-empty-docs band bucket
-    sig = pages.where(F.size(words_arr) > 0).select(
-        "url",
-        F.size(words_arr).alias("sz"),
-        *[F.array_min(F.transform(words_arr, _word_hash(k))).alias(f"h{k}")
-          for k in range(n_minhash)],
+    # one giant all-empty-docs band bucket.
+    # r6: signatures via the Arrow MinHash kernel (same seeded md5
+    # minima as the _word_hash HOF fold — functions/texthash.py,
+    # pinned by tests/test_vecfold.py), with per-word hashes cached
+    # process-wide instead of recomputed per document
+    mh_udf = make_minhash_udf(n_minhash)
+    sig = (
+        pages.select("url", words_arr.alias("_ws"))
+        .where(F.size("_ws") > 0)
+        .select("url", F.size("_ws").alias("sz"), mh_udf("_ws").alias("_h"))
+        .select("url", "sz", "_h.*")
     )
     w = pages.select(
         "url", F.explode(words_arr).alias("w"))

@@ -105,7 +105,8 @@ def mention_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("lineno"),
         "text",
     )
-    mentions = extract_mentions(spark, lines, _MENTION_TABLE)
+    mentions = extract_mentions(spark, lines, _MENTION_TABLE,
+                                single_line=True)
     return (
         mentions.groupBy("name", "code")
         .agg(F.count("*").alias("n_mentions"))

@@ -137,7 +137,8 @@ def mention_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.lit(1).alias("lineno"), "text")
-    mentions = extract_mentions(spark, lines, _RECALL_TERMS)
+    mentions = extract_mentions(spark, lines, _RECALL_TERMS,
+                                single_line=True)
     hits = mentions.select("doc_id").distinct().agg(
         F.count("*").alias("docs_with_mention"))
     # one lazy DAG: the denominator is a 1-row agg cross-joined in,
@@ -203,6 +204,10 @@ _DUP_SIGNS = [
     [_dup_sign(k, i) for i in range(1, _DIM + 1)]
     for k in range(_N_DUP_PLANES)
 ]
+
+from ..functions.vecfold import make_sig_norm_udf, seq_dot_udf  # noqa: E402
+
+_dup_sig_norm_udf = make_sig_norm_udf(_DUP_SIGNS)
 
 
 def _dot64(x, y):
@@ -283,10 +288,16 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     below the exchange on one side and the subtrees stop matching
     (plan pinned by test_plans)."""
     emb = t(spark, sf_dir, "embeddings")
+    # ONE Arrow crossing computes sig + norm (bit-identical to the
+    # _dup_sig_col/_dot64 HOF folds — functions/vecfold.py, pinned by
+    # tests/test_vecfold.py). The interpreted fold was ~1100 lambda
+    # steps per row and the planner evaluates this subtree up to three
+    # times (two join sides + the hot-set lineage).
     side = emb.select(
-        "vec_id", "embedding", _dup_sig_col().alias("sig")
-    ).withColumn(
-        "norm", F.sqrt(_dot64(F.col("embedding"), F.col("embedding")))
+        "vec_id", "embedding", _dup_sig_norm_udf(F.col("embedding")).alias("_sn")
+    ).select(
+        "vec_id", "embedding",
+        F.col("_sn.sig").alias("sig"), F.col("_sn.norm").alias("norm"),
     )
     side = side.select(
         "*",
@@ -346,7 +357,7 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 | F.col(f"_hot_val_{j2}").isNotNull())
         first_match = cond if first_match is None else first_match | cond
     pairs = pairs.where(first_match)
-    cos = _dot64(F.col("embedding_a"), F.col("embedding_b")) / (
+    cos = seq_dot_udf(F.col("embedding_a"), F.col("embedding_b")) / (
         F.col("norm_a") * F.col("norm_b"))
     verified = (
         pairs.withColumn("cos_sim", F.round(cos, 6))

@@ -79,9 +79,13 @@ def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     revenue = dec("l_extendedprice", 12, 2) * (F.lit(1).cast("decimal(3,2)") - dec("l_discount", 3, 2))
+    # join order (r6, guide §3): reduce orders by the selective BUILDING
+    # dimension FIRST, so the big lineitem fact joins a ~5× smaller
+    # orders side (AQE can then broadcast it instead of shuffling
+    # lineitem; inner joins are associative — result unchanged)
+    orders_b = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders_b, li.l_orderkey == orders_b.o_orderkey)
         .groupBy("o_orderkey", us("o_orderdate").alias("o_orderdate_us"))
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.vecfold import cos_seq_udf, d2_seq_udf, make_sig_udf
 from .util import t
 
 QUERIES = {}
@@ -66,10 +67,10 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = emb.crossJoin(F.broadcast(probes)).filter(
         F.col("vec_id") != F.col("probe_id")
     )
-    cos = _dot(F.col("embedding"), F.col("probe_vec")) / (
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(_dot(F.col("probe_vec"), F.col("probe_vec")))
-    )
+    # Arrow kernel ≡ the _dot fold chain (r6; bit-pinned by
+    # tests/test_vecfold.py) — the interpreted HOF fold was the
+    # query's dominant per-row cost
+    cos = cos_seq_udf(F.col("embedding"), F.col("probe_vec"))
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cos_sim"), F.asc("vec_id")
     )
@@ -157,16 +158,8 @@ def _assignments(emb, cents):
     """(vec_id, centroid_id, rk) — rank of each centroid per vector by
     L2 distance, deterministic fold + tie on centroid_id."""
     pairs = emb.crossJoin(F.broadcast(cents))
-    dist = F.aggregate(
-        F.sequence(F.lit(1), F.lit(DIM)),
-        F.lit(0.0),
-        lambda acc, i: acc
-        + (
-            F.element_at(F.col("embedding"), i).cast("double")
-            - F.element_at(F.col("cvec"), i).cast("double")
-        )
-        ** 2,
-    )
+    # Arrow kernel ≡ the sequential (a-b)**2 fold (r6, bit-pinned)
+    dist = d2_seq_udf(F.col("embedding"), F.col("cvec"))
     w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
     return (
         pairs.withColumn("d2", F.round(dist, 6))
@@ -199,9 +192,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(probes, "probe_id")
         .where(F.col("member_id") != F.col("probe_id"))
     )
-    cos = _dot(F.col("m_emb"), F.col("p_emb")) / (
-        F.sqrt(_dot(F.col("m_emb"), F.col("m_emb")))
-        * F.sqrt(_dot(F.col("p_emb"), F.col("p_emb"))))
+    cos = cos_seq_udf(F.col("m_emb"), F.col("p_emb"))
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cos_sim"), F.asc("member_id"))
     return (
@@ -267,35 +258,21 @@ def _plane_sign(k: int, i: int) -> float:
     return 1.0 if int(h, 16) & 1 else -1.0
 
 
+_RP_SIGNS = [
+    [_plane_sign(k, i) for i in range(1, DIM + 1)] for k in range(N_PLANES)
+]
+_rp_sig_udf = make_sig_udf(_RP_SIGNS)
+
+
 @_q("rp_lsh_buckets")
 def rp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    # one nested fold over an array<array<double>> sign literal instead
-    # of N_PLANES separate folds: same float-op order per plane (the
-    # inner fold is unchanged → bitwise-identical projections), but a
-    # far smaller expression tree — the 8-separate-folds shape put
-    # analysis+codegen time above execution time (round-3 lesson)
-    signs = F.array(*[
-        F.array(*[F.lit(_plane_sign(k, i)) for i in range(1, DIM + 1)])
-        for k in range(N_PLANES)
-    ])
-    weights = F.array(*[F.lit(1 << k) for k in range(N_PLANES)])
-    sig = F.aggregate(
-        F.sequence(F.lit(1), F.lit(N_PLANES)),
-        F.lit(0),
-        lambda acc, k: acc + F.when(
-            F.aggregate(
-                F.sequence(F.lit(1), F.lit(DIM)),
-                F.lit(0.0),
-                lambda a, i: a
-                + F.element_at(F.col("embedding"), i).cast("double")
-                * F.element_at(F.element_at(signs, k), i),
-            ) > 0,
-            F.element_at(weights, k),
-        ).otherwise(F.lit(0)),
-    )
+    # Arrow kernel: per plane, the same sequential double fold the
+    # nested F.aggregate form pinned (bit-identical projections; see
+    # functions/vecfold.py + tests/test_vecfold.py). The HOF form was
+    # interpreted per element — ~8×64 lambda steps per row.
     return (
-        emb.withColumn("bucket", sig.cast("int"))
+        emb.withColumn("bucket", _rp_sig_udf(F.col("embedding")))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec"))
     )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.texthash import make_minhash_udf, make_simhash_udf
 from .util import t
 
 QUERIES = {}
@@ -201,25 +202,39 @@ N_MINHASH = 8
 
 
 def _minhash_col(k: int):
-    # closure factory (a k=k default arg breaks Spark HOF arity)
+    # closure factory (a k=k default arg breaks Spark HOF arity);
+    # kept as the Catalyst reference form the Arrow kernel is pinned
+    # against (tests/test_vecfold.py)
     return lambda w: F.md5(F.concat(F.lit(f"s{k}|"), w))
+
+
+_minhash4_udf = make_minhash_udf(4)
+
+
+_minhash8_udf = make_minhash_udf(N_MINHASH)
 
 
 @_q("minhash_signatures")
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Signatures are per-row ARRAY expressions (array_min/transform),
+    """Signatures are per-row (one Arrow kernel call on the word array),
     not explode+groupBy: a doc's words are already co-located in its
     row, so the whole signature pass is shuffle-free with zero
     aggregation state — the shape that survives 10^12 docs. The DuckDB
     oracle keeps the equivalent unnest+GROUP BY formulation, so the two
     independent derivations cross-check each other. Empty-shingle docs
-    are dropped, matching the explode form (no rows → no group)."""
+    are dropped, matching the explode form (no rows → no group).
+
+    r6: the per-seed `array_min(transform(arr, md5(...)))` HOF chain is
+    replaced by functions/texthash.make_minhash_udf — identical hex
+    minima (pinned by tests/test_vecfold.py), with the per-word md5
+    cached process-wide instead of recomputed per document."""
     docs = t(spark, sf_dir, "documents")
     arr = F.array_distinct(_words(F.col("text")))
-    return docs.where(F.size(arr) > 0).select(
-        "doc_id",
-        *[F.array_min(F.transform(arr, _minhash_col(k))).alias(f"h{k}")
-          for k in range(N_MINHASH)],
+    return (
+        docs.select("doc_id", arr.alias("_ws"))
+        .where(F.size("_ws") > 0)
+        .select("doc_id", _minhash8_udf("_ws").alias("_h"))
+        .select("doc_id", "_h.*")
     )
 
 
@@ -300,11 +315,12 @@ def minhash_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = docs.select("doc_id", F.explode(arr).alias("w"))
     # shuffle-free signature + set-size pass (see minhash_signatures);
     # only the exact-intersection verify below needs word-grain rows
-    sig = docs.where(F.size(arr) > 0).select(
-        "doc_id",
-        F.size(arr).alias("sz"),
-        *[F.array_min(F.transform(arr, _minhash_col(k))).alias(f"h{k}")
-          for k in range(4)],
+    sig = (
+        docs.select("doc_id", arr.alias("_ws"))
+        .where(F.size("_ws") > 0)
+        .select("doc_id", F.size("_ws").alias("sz"),
+                _minhash4_udf("_ws").alias("_h"))
+        .select("doc_id", "sz", "_h.*")
     )
     bands = sig.select(
         "doc_id",
@@ -408,25 +424,21 @@ _SH_BITS = 32  # 16 bits (the fingerprint demo above) can't discriminate
                # docs sharing a small lexicon; the pairs path uses 32
 
 
+_simhash32_udf = make_simhash_udf(_SH_BITS, 8)
+
+
 def _simhash32(spark, sf_dir):
+    # r6: one Arrow kernel call per doc (exact-integer ±1 bit sums,
+    # functions/texthash.py) replaces the explode + 32-conditional-SUM
+    # aggregation — the signature pass is now shuffle-free; identical
+    # values pinned by tests/test_vecfold.py
     docs = t(spark, sf_dir, "documents")
-    wd = docs.select(
-        "doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("w")
-    ).withColumn(
-        "wh", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("wh"), b).bitwiseAND(F.lit(1)) == 1,
-                   1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(_SH_BITS)
-    ]
-    agg = wd.groupBy("doc_id").agg(*bit_sums)
-    sim = None
-    for b in range(_SH_BITS):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return agg.select("doc_id", sim.cast("bigint").alias("simhash32"))
+    arr = F.array_distinct(_words(F.col("text")))
+    return (
+        docs.select("doc_id", arr.alias("_ws"))
+        .where(F.size("_ws") > 0)
+        .select("doc_id", _simhash32_udf("_ws").alias("simhash32"))
+    )
 
 
 @_q("simhash_near_pairs")
@@ -586,24 +598,19 @@ WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6)
 # fingerprint. Bits decoded from the first 4 hex chars of each word's md5.
 # ---------------------------------------------------------------------------
 
+_simhash16_udf = make_simhash_udf(16, 4)
+
+
 @_q("simhash")
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r6: Arrow kernel, shuffle-free (see _simhash32)
     docs = t(spark, sf_dir, "documents")
-    wd = docs.select(
-        "doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("w")
-    ).withColumn("wh", F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("wh"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(16)
-    ]
-    agg = wd.groupBy("doc_id").agg(*bit_sums)
-    sim = None
-    for b in range(16):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return agg.select("doc_id", sim.cast("bigint").alias("simhash16"))
+    arr = F.array_distinct(_words(F.col("text")))
+    return (
+        docs.select("doc_id", arr.alias("_ws"))
+        .where(F.size("_ws") > 0)
+        .select("doc_id", _simhash16_udf("_ws").alias("simhash16"))
+    )
 
 
 ORACLE_SQL["simhash"] = f"""
