@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..parallelism import spread
+
 
 def _gram_positions(count, n: int):
     """Start positions [1 .. count-n+1] as an array column, EMPTY when
@@ -122,6 +124,10 @@ def build_lm_ngrams(
     """corpus(lang, text) → lm_ngrams(lang_code, gram_type, ngram, count).
     Reference gram sizes (config.ini:24-26): char 3, word 1, morpheme 2 —
     pass word_n=1, morph_n=2 to build the feature-path ODIN LM."""
+    # narrow projection + spread: only (lang, text) enter the gram
+    # explodes, and a small single-file corpus is repartitioned up to
+    # executor parallelism first (queries/util.spread — no-op at scale)
+    corpus = spread(corpus.select(lang_col, text_col))
     parts = []
     for gram_type, part in (
         ("char", _exploded_char_ngrams(corpus, text_col, lang_col, char_n)),
@@ -249,7 +255,7 @@ def lm_match_ratio(df: DataFrame, lm: DataFrame, text_col: str, lang_col: str,
     """A6/J3: fraction of a row's char n-grams present in the LM for its
     language (features.py:337-354 LM-match ratio, membership-only like
     util.py:103-111). Left-semi join on (lang, ngram), counts ÷ total."""
-    base = df.withColumn(
+    base = spread(df.select(lang_col, text_col)).withColumn(
         "_rid", F.monotonically_increasing_id()  # per source row, pre-explode
     )
     # two codegen explodes ≡ explode(char_ngrams_col(...)) — see

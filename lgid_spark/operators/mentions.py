@@ -386,6 +386,13 @@ def extract_mentions(
             cols += ["block_id",
                      F.lead("block_id").over(w).alias("next_block_id")]
     paired = lines_df.select(*cols)
+    if single_line:
+        # the matcher is the expensive stage; a small single-file scan
+        # yields ~2 splits — repartition up to executor parallelism
+        # (no-op at scale; the not-single_line path shuffles anyway)
+        from ..parallelism import spread
+
+        paired = spread(paired)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from ..operators.lm import build_lm_ngrams, lm_match_ratio
 from ..operators.mentions import extract_mentions
 from ..operators.multimodal import extract_media_features, synthetic_media
-from .util import t
+from .util import spread, t
 
 QUERIES = {}
 ORACLE_SQL = {}
@@ -221,7 +221,7 @@ FROM per_doc GROUP BY lang
 def word_int_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.word_index import dense_word_ids
 
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents").select("text"))
     words = docs.select(F.explode(
         F.filter(F.split(F.trim("text"), r"(?U)\s+"),
                  lambda w: w != F.lit(""))).alias("word"))

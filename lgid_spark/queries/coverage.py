@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .util import dsum, t
+from .util import dsum, spread, t
 
 QUERIES = {}
 ORACLE_SQL = {}
@@ -293,7 +293,7 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_vecfold.py). The interpreted fold was ~1100 lambda
     # steps per row and the planner evaluates this subtree up to three
     # times (two join sides + the hot-set lineage).
-    side = emb.select(
+    side = spread(emb.select("vec_id", "embedding")).select(
         "vec_id", "embedding", _dup_sig_norm_udf(F.col("embedding")).alias("_sn")
     ).select(
         "vec_id", "embedding",

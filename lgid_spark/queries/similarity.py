@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vecfold import cos_seq_udf, d2_seq_udf, make_sig_udf
-from .util import t
+from .util import spread, t
 
 QUERIES = {}
 ORACLE_SQL = {}
@@ -64,7 +64,9 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
-    pairs = emb.crossJoin(F.broadcast(probes)).filter(
+    # spread: the cosine kernel must not run on a 2-split scan
+    pairs = spread(emb.select("vec_id", "embedding")).crossJoin(
+        F.broadcast(probes)).filter(
         F.col("vec_id") != F.col("probe_id")
     )
     # Arrow kernel ≡ the _dot fold chain (r6; bit-pinned by
@@ -113,7 +115,9 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # shared rank helper (one copy of the fold + tie-break, so the
     # Spark query can't drift from ivf_topk's assignment semantics)
-    assigned = _assignments(emb, cents).filter(F.col("rk") == 1)
+    assigned = _assignments(
+        spread(emb.select("vec_id", "embedding")), cents
+    ).filter(F.col("rk") == 1)
     return assigned.groupBy("centroid_id").agg(
         F.count("*").alias("n_assigned"),
         F.round(F.avg("d2"), 4).alias("mean_d2"),
@@ -174,8 +178,9 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
     # cell membership: each vector lives in its nearest centroid's cell
-    cells = _assignments(emb, cents).where(F.col("rk") == 1).select(
-        "vec_id", "centroid_id")
+    cells = _assignments(
+        spread(emb.select("vec_id", "embedding")), cents
+    ).where(F.col("rk") == 1).select("vec_id", "centroid_id")
     members = cells.join(
         emb.select("vec_id", F.col("embedding").alias("m_emb")), "vec_id"
     ).select(F.col("vec_id").alias("member_id"), "centroid_id", "m_emb")
@@ -272,7 +277,8 @@ def rp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # functions/vecfold.py + tests/test_vecfold.py). The HOF form was
     # interpreted per element — ~8×64 lambda steps per row.
     return (
-        emb.withColumn("bucket", _rp_sig_udf(F.col("embedding")))
+        spread(emb.select("vec_id", "embedding"))
+        .withColumn("bucket", _rp_sig_udf(F.col("embedding")))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec"))
     )

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.texthash import make_minhash_udf, make_simhash_udf
-from .util import t
+from .util import spread, t
 
 QUERIES = {}
 ORACLE_SQL = {}
@@ -228,7 +228,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaced by functions/texthash.make_minhash_udf — identical hex
     minima (pinned by tests/test_vecfold.py), with the per-word md5
     cached process-wide instead of recomputed per document."""
-    docs = t(spark, sf_dir, "documents")
+    # spread: the signature kernel must not run on the 2 scan splits
+    # a small single-file table yields (queries/util.spread; no-op at
+    # scale)
+    docs = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
     arr = F.array_distinct(_words(F.col("text")))
     return (
         docs.select("doc_id", arr.alias("_ws"))
@@ -310,7 +313,7 @@ _MJ_MAX_BUCKET = 1000  # LSH hot-bucket guard (B docs in a band → B²
 
 @_q("minhash_jaccard_pairs")
 def minhash_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
     arr = F.array_distinct(_words(F.col("text")))
     w = docs.select("doc_id", F.explode(arr).alias("w"))
     # shuffle-free signature + set-size pass (see minhash_signatures);
@@ -432,7 +435,7 @@ def _simhash32(spark, sf_dir):
     # functions/texthash.py) replaces the explode + 32-conditional-SUM
     # aggregation — the signature pass is now shuffle-free; identical
     # values pinned by tests/test_vecfold.py
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
     arr = F.array_distinct(_words(F.col("text")))
     return (
         docs.select("doc_id", arr.alias("_ws"))
@@ -514,7 +517,7 @@ _SHINGLE_CAP_FRAC = 0.01
 
 @_q("jaccard_similar_pairs")
 def jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
     words = _words(F.col("text"))
     tri = F.transform(
         F.sequence(F.lit(1), F.size(words) - 2),
@@ -723,7 +726,7 @@ _TERMS = [
 
 @_q("term_mention_counts")
 def term_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
     dim = spark.createDataFrame(
         [(name, code) for name, codes in _TERMS for code in codes],
         ["term", "code"],

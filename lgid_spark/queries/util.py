@@ -14,6 +14,9 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+from ..parallelism import spread  # noqa: F401  (re-export for query modules)
+
+
 def dec(col, prec: int = 18, scale: int = 2):
     """Exact-decimal bridge for money math (see queries/__init__)."""
     c = F.col(col) if isinstance(col, str) else col

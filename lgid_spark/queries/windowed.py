@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .util import t, us
+from .util import spread, t, us
 
 QUERIES = {}
 ORACLE_SQL = {}
@@ -213,7 +213,9 @@ def error_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes a hash equi-join on the bucket, and the exact range predicate
     filters the residue — linear in matches, shuffle-partitionable on the
     bucket key, AQE-splittable if one time bucket is hot."""
-    ev = t(spark, sf_dir, "events").withColumn("ts_us", us("ts"))
+    # spread: the bucket-join + range-filter fan-out runs scan-side;
+    # a small events file scans as ~4 splits (no-op at scale)
+    ev = spread(t(spark, sf_dir, "events")).withColumn("ts_us", us("ts"))
     errors = (
         ev.filter(F.col("event_type") == "error")
         .select(
