@@ -488,17 +488,12 @@ def near_dup_losers(
     from .functions.texthash import make_minhash_udf
     from .operators.components import connected_components
 
-    def _word_hash(k: int):
-        # closure factory, NOT a k=k default arg: Spark higher-order
-        # lambdas must have exactly the arity Spark expects
-        return lambda w: F.md5(F.concat(F.lit(f"s{k}|"), w))
-
     words_arr = F.array_distinct(_page_words(F.col("text")))
     # whitespace-only docs have no shingles and can never be near-dups;
     # without this filter their NULL minhashes would all collide into
     # one giant all-empty-docs band bucket.
     # r6: signatures via the Arrow MinHash kernel (same seeded md5
-    # minima as the _word_hash HOF fold — functions/texthash.py,
+    # minima as the former per-seed HOF fold — functions/texthash.py,
     # pinned by tests/test_vecfold.py), with per-word hashes cached
     # process-wide instead of recomputed per document
     mh_udf = make_minhash_udf(n_minhash)
