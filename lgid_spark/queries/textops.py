@@ -214,6 +214,25 @@ _minhash4_udf = make_minhash_udf(4)
 _minhash8_udf = make_minhash_udf(N_MINHASH)
 
 
+def _minhash_signatures_df(spark: SparkSession, sf_dir: str,
+                           spread_input: bool = False) -> DataFrame:
+    """Shared signature builder. ``spread_input`` is for AGGREGATING
+    consumers (lsh_band_buckets): their count() path must compute the
+    kernel, so the starved scan is repartitioned first. The bare
+    minhash_signatures query emits per-row columns that a count()
+    prunes entirely — spreading there would only add an exchange."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    if spread_input:
+        docs = spread(docs)
+    arr = F.array_distinct(_words(F.col("text")))
+    return (
+        docs.select("doc_id", arr.alias("_ws"))
+        .where(F.size("_ws") > 0)
+        .select("doc_id", _minhash8_udf("_ws").alias("_h"))
+        .select("doc_id", "_h.*")
+    )
+
+
 @_q("minhash_signatures")
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signatures are per-row (one Arrow kernel call on the word array),
@@ -228,17 +247,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaced by functions/texthash.make_minhash_udf — identical hex
     minima (pinned by tests/test_vecfold.py), with the per-word md5
     cached process-wide instead of recomputed per document."""
-    # spread: the signature kernel must not run on the 2 scan splits
-    # a small single-file table yields (queries/util.spread; no-op at
-    # scale)
-    docs = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
-    arr = F.array_distinct(_words(F.col("text")))
-    return (
-        docs.select("doc_id", arr.alias("_ws"))
-        .where(F.size("_ws") > 0)
-        .select("doc_id", _minhash8_udf("_ws").alias("_h"))
-        .select("doc_id", "_h.*")
-    )
+    return _minhash_signatures_df(spark, sf_dir)
 
 
 ORACLE_SQL["minhash_signatures"] = f"""
@@ -258,7 +267,7 @@ FROM s GROUP BY doc_id
 
 @_q("lsh_band_buckets")
 def lsh_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = minhash_signatures(spark, sf_dir)
+    sig = _minhash_signatures_df(spark, sf_dir, spread_input=True)
     bands = sig.select(
         "doc_id",
         F.md5(F.concat_ws("|", "h0", "h1")).alias("band0"),
