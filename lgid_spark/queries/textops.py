@@ -215,20 +215,25 @@ _minhash8_udf = make_minhash_udf(N_MINHASH)
 
 
 def _minhash_signatures_df(spark: SparkSession, sf_dir: str,
-                           spread_input: bool = False) -> DataFrame:
+                           spread_input: bool = False,
+                           n_hashes: int = N_MINHASH) -> DataFrame:
     """Shared signature builder. ``spread_input`` is for AGGREGATING
     consumers (lsh_band_buckets): their count() path must compute the
     kernel, so the starved scan is repartitioned first. The bare
     minhash_signatures query emits per-row columns that a count()
-    prunes entirely — spreading there would only add an exchange."""
+    prunes entirely — spreading there would only add an exchange.
+    ``n_hashes`` lets a consumer that only reads h0..h{k-1} skip the
+    unused seeds (a struct-returning kernel is opaque to column
+    pruning); seed k's hash is identical at any width."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     if spread_input:
         docs = spread(docs)
+    udf = {4: _minhash4_udf, N_MINHASH: _minhash8_udf}[n_hashes]
     arr = F.array_distinct(_words(F.col("text")))
     return (
         docs.select("doc_id", arr.alias("_ws"))
         .where(F.size("_ws") > 0)
-        .select("doc_id", _minhash8_udf("_ws").alias("_h"))
+        .select("doc_id", udf("_ws").alias("_h"))
         .select("doc_id", "_h.*")
     )
 
@@ -267,7 +272,9 @@ FROM s GROUP BY doc_id
 
 @_q("lsh_band_buckets")
 def lsh_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _minhash_signatures_df(spark, sf_dir, spread_input=True)
+    # only h0..h3 feed the two bands — compute 4 seeds, not 8
+    sig = _minhash_signatures_df(spark, sf_dir, spread_input=True,
+                                 n_hashes=4)
     bands = sig.select(
         "doc_id",
         F.md5(F.concat_ws("|", "h0", "h1")).alias("band0"),
