@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .util import spread, t, us
+from .util import t, us
 
 QUERIES = {}
 ORACLE_SQL = {}
@@ -213,9 +213,12 @@ def error_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes a hash equi-join on the bucket, and the exact range predicate
     filters the residue — linear in matches, shuffle-partitionable on the
     bucket key, AQE-splittable if one time bucket is hot."""
-    # spread: the bucket-join + range-filter fan-out runs scan-side;
-    # a small events file scans as ~4 splits (no-op at scale)
-    ev = spread(t(spark, sf_dir, "events")).withColumn("ts_us", us("ts"))
+    # no spread: at driver scale the events scan already splits into
+    # >= cores (20 MB / the 512 KB openCost floor), so a repartition is
+    # a no-op there, and at sf0.1 it measured a consistent ~0.25 s net
+    # cost (4 bench runs) for no benefit — the join+agg stage's work
+    # per row is small
+    ev = t(spark, sf_dir, "events").withColumn("ts_us", us("ts"))
     errors = (
         ev.filter(F.col("event_type") == "error")
         .select(
